@@ -1,0 +1,152 @@
+"""Run configuration (replaces CLI + TVar settings of the reference).
+
+Maps src/Initialisation.hs:38-55 option handling and src/Settings.hs
+constants. A run is configured once, immutably, and stored with the run
+checkpoint — the reference's runtime-mutable TVars (src/Types.hs:40-46)
+have no engine analog except re-running with a new config.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # seeds in input order — admission order matters (src/Initialisation.hs:113-119)
+    seeds: tuple[str, ...] = ()
+    # include patterns: substring semantics, empty set rejects everything
+    # (src/Crawl.hs:214-228)
+    url_include_patterns: tuple[str, ...] = ()
+    domain_include_patterns: tuple[str, ...] = ()
+    # quota (src/Initialisation.hs:66-68); None = unlimited
+    crawl_limit: int | None = None
+    # politeness: per-host fetches per round (round analog of domain-exclusive
+    # ownership, src/PoliteQueue.hs:34-64); robots crawl_delay divides it
+    per_host_budget: int = 1
+    # fetch-sim bounds (src/Settings.hs:17-21)
+    max_redirects: int = 20
+    max_content_bytes: int = 20 * 1024 * 1024
+    # interaction branches (directions → meta-refresh → forms,
+    # src/Crawl.hs:117-152); bounded, unlike the reference's open recursion
+    max_interaction_hops: int = 5
+    # scheduler skew handling (SURVEY.md P6): two-phase salted window
+    scheduler_salts: int = 8
+    max_rounds: int = 1000
+    # robots evaluation is a north_rule addition (absent in reference)
+    respect_robots: bool = True
+
+    def to_json(self) -> str:
+        d = {k: list(v) if isinstance(v, tuple) else v for k, v in self.__dict__.items()}
+        return json.dumps(d, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "CrawlConfig":
+        d = json.loads(s)
+        for k in ("seeds", "url_include_patterns", "domain_include_patterns"):
+            d[k] = tuple(d[k])
+        return CrawlConfig(**d)
+
+
+@dataclass(frozen=True)
+class FormInstruction:
+    """One supplied form action (src/Types.hs:94-95): params override
+    discovered inputs; overriding a non-discovered key is an error
+    (src/Forms.hs:83-90)."""
+
+    label: str
+    url_regex: str
+    form_action_regex: str
+    params: tuple[tuple[str, str], ...] = ()
+
+
+@dataclass(frozen=True)
+class HrefDirection:
+    """Regex-driven next-link rule (src/Types.hs:99-100); first matching
+    rule wins (src/Directions.hs:30)."""
+
+    label: str
+    url_regex: str
+    href_regex: str
+
+
+@dataclass
+class WebConfig:
+    """Static inputs of a crawl: the synthetic web + rule tables."""
+
+    form_instructions: list[FormInstruction] = field(default_factory=list)
+    href_directions: list[HrefDirection] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Config-file parsers (S4/S5) — same stanza formats as the reference's
+# eg/form_instructions.cfg and eg/direction_instructions.cfg.
+# ---------------------------------------------------------------------------
+def parse_form_instructions(text: str) -> list[FormInstruction]:
+    """Blank-line-separated chunks of key=value lines
+    (src/Initialisation.hs:138-178). Keys: Label, UrlRegex,
+    FormActionRegex; all other keys are form parameters (URL-unescaped)."""
+    from urllib.parse import unquote
+
+    out = []
+    for chunk in re.split(r"\n\s*\n", text.strip()):
+        if not chunk.strip():
+            continue
+        kv: list[tuple[str, str]] = []
+        meta: dict[str, str] = {}
+        for line in chunk.splitlines():
+            line = line.strip()
+            if not line or "=" not in line:
+                continue
+            k, _, v = line.partition("=")
+            k, v = k.strip(), unquote(v.strip())
+            if k in ("Label", "UrlRegex", "FormActionRegex"):
+                meta[k] = v
+            else:
+                kv.append((k, v))
+        if {"Label", "UrlRegex", "FormActionRegex"} <= meta.keys():
+            out.append(
+                FormInstruction(
+                    label=meta["Label"],
+                    url_regex=meta["UrlRegex"],
+                    form_action_regex=meta["FormActionRegex"],
+                    params=tuple(kv),
+                )
+            )
+    return out
+
+
+_DIRECTION_RE = re.compile(
+    r"\s*HrefDirection\s*=\s*(?P<label>[^\r\n]*)\r?\n"
+    r"\s*UrlRegex\s*=\s*(?P<url>[^\r\n]*)\r?\n"
+    r"\s*HrefRegex\s*=\s*(?P<href>[^\r\n]*)"
+)
+
+
+def parse_href_directions(text: str) -> list[HrefDirection]:
+    """Stanza parser for direction files (src/Directions.hs:45-66).
+
+    Like the reference's attoparsec parser, a malformed stanza (e.g. the
+    deliberate `refDirection` typo in
+    /root/reference/eg/direction_instructions.cfg:5-7) stops the parse:
+    stanzas after the malformed one are not returned. Unlike the reference
+    (which calls `error`), we return what parsed and report the remainder.
+    """
+    out = []
+    pos = 0
+    text = text or ""
+    while pos < len(text) and text[pos:].strip():
+        m = _DIRECTION_RE.match(text, pos)
+        if not m:
+            break
+        out.append(
+            HrefDirection(
+                label=m.group("label").strip(),
+                url_regex=m.group("url").strip(),
+                href_regex=m.group("href").strip(),
+            )
+        )
+        pos = m.end()
+    return out

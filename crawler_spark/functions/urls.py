@@ -1,0 +1,266 @@
+"""URL canonicalization & resolution (SURVEY.md §2.4, U1-U9).
+
+Reimplements the semantics of reference src/Urls.hs:33-103 in pure Python,
+exposed to Spark as Arrow-batched pandas UDFs (never per-row Python UDFs).
+
+Semantics replicated:
+- U1 canonicalise: parse as *absolute* URI (reject otherwise), then
+  RFC-3986 normalization: lowercase scheme+host, uppercase %-escapes and
+  decode unreserved octets, collapse ./.. path segments
+  (src/Urls.hs:33-41, `normalizeCase . normalizeEscape .
+  normalizePathSegments`).
+- U2 default-port strip: drop :80 iff http, :443 iff https; other ports
+  kept (src/Urls.hs:25-31).
+- U3 fragment discard: everything from '#' onward, applied both pre-parse
+  and on raw hrefs (src/Urls.hs:45-47,87-88; discardFragments=True,
+  src/Settings.hs:24-25).
+- U4 space encoding on raw hrefs: literal ' ' → %20 (src/Urls.hs:90-91).
+- U5/U6 derelativise: mailto → warning; already-absolute → canonicalise;
+  else resolve against the page URL then normalize; parse failures →
+  error rows (src/Urls.hs:55-98).
+- U7 getDomain: the bytes between the first '//' and the next '/' —
+  i.e. `[userinfo@]host[:port]`, NOT just the hostname (src/Urls.hs:100-103).
+  Spark's parse_url(url,'HOST') drops port+userinfo, so domain extraction
+  stays in this module.
+- U9 hashing is NOT done here: URL/host hashes are `F.xxhash64` JVM-side.
+
+Documented deviation from the reference (SURVEY.md §7 "what's hard"):
+Haskell Network.URI's normalizeCase lowercases only the scheme; we also
+lowercase the host per RFC 3986 §6.2.2.1. The oracle simulator
+(crawler_spark/simulator.py) uses *this* canonicalizer, so
+engine-vs-simulator equivalence is exact and well-defined.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlsplit
+
+import pandas as pd
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_UNRESERVED = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+# characters legal in a URI (RFC 3986); anything else ⇒ parse failure, like
+# Network.URI's parser rejecting e.g. raw '<', '>' or control characters
+_URI_ILLEGAL_RE = re.compile("[\\x00-\\x20<>\"{}|\\\\^`\\x7f-\\U0010ffff]")
+# a '%' not followed by two hex digits ⇒ invalid escape ⇒ parse failure
+# (Network.URI rejects these; urllib would silently pass them through)
+_BAD_ESCAPE_RE = re.compile(r"%(?![0-9A-Fa-f]{2})")
+# RFC 3986 §4.2: a relative reference's first path segment must not
+# contain ':' (it would be read as a scheme); Network.URI rejects these
+_REL_COLON_RE = re.compile(r"^[^/?#]*:")
+
+
+def _normalize_escapes(s: str) -> str:
+    """RFC 3986 §6.2.2.2: uppercase escape hex; decode unreserved octets."""
+
+    def repl(m: re.Match) -> str:
+        octet = int(m.group(1), 16)
+        ch = chr(octet)
+        if ch in _UNRESERVED:
+            return ch
+        return "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    out: list[str] = []
+    buf = path
+    while buf:
+        if buf.startswith("../"):
+            buf = buf[3:]
+        elif buf.startswith("./"):
+            buf = buf[2:]
+        elif buf.startswith("/./"):
+            buf = "/" + buf[3:]
+        elif buf == "/.":
+            buf = "/"
+        elif buf.startswith("/../"):
+            buf = "/" + buf[4:]
+            if out:
+                out.pop()
+        elif buf == "/..":
+            buf = "/"
+            if out:
+                out.pop()
+        elif buf in (".", ".."):
+            buf = ""
+        else:
+            i = buf.find("/", 1) if buf.startswith("/") else buf.find("/")
+            if i == -1:
+                out.append(buf)
+                buf = ""
+            else:
+                out.append(buf[:i])
+                buf = buf[i:]
+    return "".join(out)
+
+
+def _sanitise_href(raw: str) -> str:
+    """U3+U4 on raw hrefs: drop fragment, encode literal spaces
+    (src/Urls.hs:85-91)."""
+    s = raw.split("#", 1)[0]
+    return s.replace(" ", "%20")
+
+
+def canonicalize(raw: str) -> tuple[str | None, str | None, str | None]:
+    """U1-U3: canonicalize an absolute URL.
+
+    Returns (canonical_url, domain, error). domain is `[user@]host[:port]`
+    per U7. error is None on success.
+    """
+    if raw is None:
+        return None, None, "null URL"
+    s = raw.split("#", 1)[0]  # discard fragments pre-parse (src/Urls.hs:45-47)
+    if not s or not _SCHEME_RE.match(s):
+        return None, None, "not an absolute URI"
+    if _URI_ILLEGAL_RE.search(s) or _BAD_ESCAPE_RE.search(s):
+        return None, None, "illegal character in URI"
+    try:
+        parts = urlsplit(s)
+    except ValueError:
+        return None, None, "could not parse URL"
+    scheme = parts.scheme.lower()
+    if not scheme:
+        return None, None, "not an absolute URI"
+
+    netloc = parts.netloc
+    # lowercase host but preserve userinfo verbatim
+    if "@" in netloc:
+        userinfo, hostport = netloc.rsplit("@", 1)
+        userinfo += "@"
+    else:
+        userinfo, hostport = "", netloc
+    # lowercase the host portion, keep an explicit non-default port (U2)
+    if hostport.startswith("["):  # ipv6 literal [::1]:8080
+        close = hostport.find("]")
+        host, port = hostport[: close + 1].lower(), hostport[close + 1 :]
+    elif ":" in hostport:
+        h, _, p = hostport.rpartition(":")
+        host, port = h.lower(), ":" + p
+    else:
+        host, port = hostport.lower(), ""
+    if (scheme == "http" and port == ":80") or (scheme == "https" and port == ":443"):
+        port = ""
+    netloc = userinfo + host + port
+
+    path = _remove_dot_segments(_normalize_escapes(parts.path))
+    query = _normalize_escapes(parts.query)
+
+    url = scheme + ":"
+    if netloc or s[len(scheme) + 1 :].startswith("//"):
+        url += "//" + netloc
+    url += path
+    if query:
+        url += "?" + query
+    domain = netloc if netloc else None
+    return url, domain, None
+
+
+def resolve(base: str, raw_href: str) -> tuple[str | None, str | None, str | None, str | None]:
+    """U5/U6 derelativise: resolve a raw href against the page URL.
+
+    Returns (canonical_url, domain, kind, message) where kind is one of
+    ok | warning | error (mailto ⇒ warning, parse failure ⇒ error),
+    mirroring Either Loggable CanonicalUrl (src/Urls.hs:72-98).
+    """
+    if raw_href is None:
+        return None, None, "error", "null href"
+    href = _sanitise_href(raw_href.strip())
+    if href.startswith("mailto:"):
+        return None, None, "warning", "Found an email " + href
+    if _SCHEME_RE.match(href):
+        url, dom, err = canonicalize(href)
+        if err is not None:
+            return None, None, "error", "Could not parse URL: " + href
+        return url, dom, "ok", None
+    if base is None:
+        return None, None, "error", "Couldn't derelativise left side: <no base>"
+    if not href:
+        # empty href resolves to the base itself (urljoin semantics;
+        # Network.URI relativeTo does the same for the empty reference)
+        url, dom, err = canonicalize(base)
+        if err is not None:
+            return None, None, "error", "Couldn't derelativise left side: " + base
+        return url, dom, "ok", None
+    if _URI_ILLEGAL_RE.search(href) or _BAD_ESCAPE_RE.search(href) or _REL_COLON_RE.match(href):
+        return None, None, "error", "Couldn't derelativise right side: " + href
+    base_url, _, base_err = canonicalize(base)
+    if base_err is not None:
+        return None, None, "error", "Couldn't derelativise left side: " + str(base)
+    try:
+        joined = urljoin(base_url, href)
+    except ValueError:
+        return None, None, "error", "Couldn't derelativise right side: " + href
+    url, dom, err = canonicalize(joined)
+    if err is not None:
+        return None, None, "error", "Couldn't derelativise right side: " + href
+    return url, dom, "ok", None
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow-batched) wrappers. Inside each batch we dedupe values
+# before calling the scalar kernel, so the Python cost is O(distinct), and
+# the batch transfer is Arrow — no per-row Python UDFs anywhere.
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_series(urls: pd.Series) -> pd.DataFrame:
+    uniq = {u: canonicalize(u) for u in pd.unique(urls.dropna())}
+    uniq[None] = (None, None, "null URL")
+
+    def get(u):  # noqa: ANN001
+        return uniq.get(u, (None, None, "null URL"))
+
+    rows = [get(u) for u in urls]
+    return pd.DataFrame(rows, columns=["url", "host", "error"])
+
+
+def resolve_series(bases: pd.Series, hrefs: pd.Series) -> pd.DataFrame:
+    pairs = pd.DataFrame({"b": bases, "h": hrefs})
+    cache: dict[tuple, tuple] = {}
+    out = []
+    for b, h in zip(pairs["b"], pairs["h"]):
+        key = (b, h)
+        r = cache.get(key)
+        if r is None:
+            r = resolve(b, h)
+            cache[key] = r
+        out.append(r)
+    return pd.DataFrame(out, columns=["url", "host", "kind", "message"])
+
+
+def register_udfs():
+    """Build the pandas UDF objects (deferred import so pure-Python tests
+    don't need a JVM)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    canon_schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("host", StringType()),
+            StructField("error", StringType()),
+        ]
+    )
+    resolve_schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("host", StringType()),
+            StructField("kind", StringType()),
+            StructField("message", StringType()),
+        ]
+    )
+
+    @pandas_udf(canon_schema)
+    def canonicalize_urls(urls: pd.Series) -> pd.DataFrame:
+        return canonicalize_series(urls)
+
+    @pandas_udf(resolve_schema)
+    def resolve_links(bases: pd.Series, hrefs: pd.Series) -> pd.DataFrame:
+        return resolve_series(bases, hrefs)
+
+    return canonicalize_urls, resolve_links

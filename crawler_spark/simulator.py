@@ -1,0 +1,291 @@
+"""Single-threaded reference simulator — the crawl-order oracle.
+
+SURVEY.md §3.4: the Haskell reference's output order is nondeterministic
+(20 racing threads). The deterministic kernel its polite-queue discipline
+binds to is re-specified as round-based BFS:
+
+  Round r:
+    admitted(host) = the host's pending URLs ordered by (priority, seq),
+                     truncated to host_budget(per_host_budget, crawl_delay)
+    rank           = global (priority, seq) order over all admitted URLs
+    each admitted URL is fetched (redirect-following ≤ max_redirects),
+    interaction branches run in reference order — direction → meta-refresh
+    → form (Crawl.hs:117-152) — then the store/extract/enqueue pipeline
+    (Crawl.hs:153-162). Links discovered in round r enter the frontier in
+    (discovering rank, extraction order) and become fetchable in round r+1.
+
+Reference quirks replicated exactly (see crawl_logic.py for citations):
+meta-refresh resolves against the originally scheduled URL; only the FINAL
+fetch's redirect chain is marked completed (a direction hop leaves the
+original URL un-completed and re-discoverable); a gated meta-refresh drops
+the row entirely (nothing stored); include-filter failure at store time
+drops everything including link extraction; quota gates only the store,
+not completion marking or link extraction.
+
+The Spark engine (plans/round.py) must reproduce this simulator's fetch
+order (round, rank), final url_seen set, and stored-doc span sequences
+exactly. Both sides share crawl_logic.py + functions/urls.py, so
+equivalence is by construction; tests/test_trace_equivalence.py checks it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from crawler_spark import crawl_logic as cl
+from crawler_spark.config import CrawlConfig
+from crawler_spark.functions.urls import canonicalize, resolve
+
+
+@dataclass
+class SimResult:
+    fetch_order: list[tuple[int, int, str]] = field(default_factory=list)  # (round, rank, url)
+    url_seen: dict[str, str] = field(default_factory=dict)  # url -> completed|failed
+    stored: list[dict] = field(default_factory=list)
+    errors: list[dict] = field(default_factory=list)
+    frontier_remaining: list[dict] = field(default_factory=list)
+    rounds_run: int = 0
+
+
+class Simulator:
+    def __init__(self, web: dict, config: CrawlConfig):
+        docs = web["documents"]
+        self.documents = {r["doc_id"]: r["spans"] for r in docs.to_dict("records")}
+        self.redirect_map = {
+            r["src_url"]: r["dst_url"] for r in web["redirects"].to_dict("records")
+        } if len(web["redirects"]) else {}
+        self.robots = {
+            r["host"]: r for r in web["robots_rules"].to_dict("records")
+        } if len(web["robots_rules"]) else {}
+        self.url_patterns = list(config.url_include_patterns)
+        self.domain_patterns = list(config.domain_include_patterns)
+        self.directions = list(web.get("href_directions") or [])
+        self.form_instructions = list(web.get("form_instructions") or [])
+        self.cfg = config
+
+        self.completed: set[str] = set()
+        self.failed: set[str] = set()
+        self.frontier: list[dict] = []  # pending rows
+        self.seq = 0
+        self.stored_count = 0
+        self.res = SimResult()
+
+    # -- helpers --------------------------------------------------------------
+    def _error(self, kind: str, url: str | None, message: str, round_: int) -> None:
+        self.res.errors.append({"kind": kind, "url": url, "message": message, "round": round_})
+
+    def _robots_ok(self, url: str, host: str) -> bool:
+        if not self.cfg.respect_robots:
+            return True
+        rule = self.robots.get(host)
+        if rule is None:
+            return True
+        return cl.robots_allowed(url, host, rule.get("allow_prefixes"), rule.get("disallow_prefixes"))
+
+    def _budget(self, host: str) -> int:
+        delay = None
+        rule = self.robots.get(host)
+        if rule is not None:
+            delay = rule.get("crawl_delay")
+            if delay is not None and delay != delay:  # NaN from parquet
+                delay = None
+        return cl.host_budget(self.cfg.per_host_budget, delay)
+
+    def _enqueue(self, url: str, host: str | None, round_: int, pending_urls: set[str]) -> bool:
+        """D3/D2 pipeline: include-filter → robots → checkNotDone → insert."""
+        if not cl.include_match(url, host, self.url_patterns, self.domain_patterns):
+            return False  # result ignored silently (Crawl.hs:162 mapM_)
+        if host is None:
+            # PoliteQueue.writeQueue domain-extraction failure: URL dropped
+            self._error("GeneralError", url, "Could not get domain from url", round_)
+            return False
+        if not self._robots_ok(url, host):
+            return False
+        if url in self.completed or url in self.failed or url in pending_urls:
+            return False
+        self.frontier.append(
+            {"url": url, "host": host, "priority": 0, "seq": self.seq, "discovered_round": round_}
+        )
+        pending_urls.add(url)
+        self.seq += 1
+        return True
+
+    # -- seeding (S1/S2: Initialisation.hs:113-119, input order) --------------
+    def seed(self, seed_urls: list[str]) -> None:
+        pending = {f["url"] for f in self.frontier}
+        for raw in seed_urls:
+            url, host, err = canonicalize(raw.strip())
+            if err is not None:
+                self._error("GeneralError", raw, f"Could not canonicalise seed: {err}", 0)
+                continue
+            self._enqueue(url, host, 0, pending)
+
+    # -- fetch-sim (A1: Fetch.hs:29-70) ----------------------------------------
+    def _follow_redirects(self, requested: str) -> tuple[list[str] | None, list[str]]:
+        """Returns (chain head-first | None on abort, traversed urls)."""
+        visited = [requested]
+        cur = requested
+        hops = 0
+        while cur in self.redirect_map:
+            hops += 1
+            if hops > self.cfg.max_redirects:
+                return None, visited
+            cur = self.redirect_map[cur]
+            visited.append(cur)
+        # nub(reverse-accumulated ++ [requested]) — head = final (Fetch.hs:40-43)
+        chain: list[str] = []
+        for u in reversed(visited):
+            if u not in chain:
+                chain.append(u)
+        return chain, visited
+
+    def _doc_size(self, spans) -> int:
+        return sum(len(s.get("text") or "") + len(s.get("media_ref") or "") for s in spans)
+
+    def _fetch_and_interact(self, scheduled_url: str, round_: int, gate_set: set[str]):
+        """One scheduled URL through redirects + interaction branches.
+
+        Returns ('doc', chain, spans) | ('failed', urls) | ('dropped',).
+        """
+        current = scheduled_url
+        hops = 0
+        while True:
+            chain, visited = self._follow_redirects(current)
+            if chain is None:
+                self._error("CrawlError", scheduled_url, f"Too many redirects from {current}", round_)
+                return ("failed", visited)
+            final = chain[0]
+            spans = self.documents.get(final)
+            if spans is None:
+                self._error("CrawlError", scheduled_url, f"Fetch failed: {final}", round_)
+                return ("failed", visited)
+            if self._doc_size(spans) > self.cfg.max_content_bytes:
+                self._error("CrawlError", scheduled_url, f"Content too large: {final}", round_)
+                return ("failed", visited)
+            if hops < self.cfg.max_interaction_hops:
+                # branch 1: href direction (Crawl.hs:123-129)
+                direction = cl.find_direction(final, spans, self.directions)
+                if direction is not None:
+                    current = direction
+                    hops += 1
+                    continue
+                # branch 2: meta refresh, resolved against the *scheduled* URL
+                # and gated through checkNotDone (Crawl.hs:130-143)
+                raw_meta = cl.find_meta_refresh(spans)
+                if raw_meta is not None:
+                    target, _, kind, msg = resolve(scheduled_url, raw_meta)
+                    if kind != "ok":
+                        self._error("CrawlError", scheduled_url, f"Meta refresh resolve failed: {msg}", round_)
+                        return ("dropped",)
+                    if target in self.completed or target in self.failed or target in gate_set:
+                        return ("dropped",)  # gated ⇒ nothing stored (Crawl.hs:138-140)
+                    current = target
+                    hops += 1
+                    continue
+                # branch 3: form submission (Crawl.hs:146-152)
+                submit, _label, form_errors = cl.select_form(final, spans, self.form_instructions)
+                for msg in form_errors:
+                    self._error("GeneralError", final, msg, round_)
+                if submit is not None:
+                    current = submit
+                    hops += 1
+                    continue
+            return ("doc", chain, spans)
+
+    # -- the round loop --------------------------------------------------------
+    def run(self, max_rounds: int | None = None) -> SimResult:
+        max_rounds = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        round_ = 0
+        while round_ < max_rounds and self.frontier:
+            if self.cfg.crawl_limit is not None and self.stored_count >= self.cfg.crawl_limit:
+                break
+            self._run_round(round_)
+            round_ += 1
+        self.res.rounds_run = round_
+        self.res.frontier_remaining = list(self.frontier)
+        return self.res
+
+    def _run_round(self, round_: int) -> None:
+        # P2/P3: per-host FIFO truncation to budget, then global rank
+        by_host: dict[str, list[dict]] = {}
+        for row in self.frontier:
+            by_host.setdefault(row["host"], []).append(row)
+        admitted: list[dict] = []
+        for host, rows in by_host.items():
+            rows.sort(key=lambda r: (r["priority"], r["seq"]))
+            admitted.extend(rows[: self._budget(host)])
+        admitted.sort(key=lambda r: (r["priority"], r["seq"]))
+
+        admitted_urls = {r["url"] for r in admitted}
+        pending_at_start = {r["url"] for r in self.frontier}
+        # batch semantics (§3.4 re-specification): the meta-refresh
+        # checkNotDone gate evaluates against ROUND-START state — url_seen
+        # snapshot + pending frontier + this round's admitted set — so the
+        # engine's one-job-per-round plan can reproduce it exactly
+        gate_set = self.completed | self.failed | pending_at_start | admitted_urls
+
+        # consume admitted rows from the frontier
+        self.frontier = [r for r in self.frontier if r["url"] not in admitted_urls]
+        pending_urls = {r["url"] for r in self.frontier}
+
+        # link candidates are collected during the round and admitted at the
+        # END of the round (batch semantics): dedup against end-of-round
+        # url_seen + remaining pending, first discovery wins, ordered by
+        # (discovering rank, extraction order)
+        candidates: list[tuple[str, str | None]] = []
+
+        for rank, row in enumerate(admitted, start=1):
+            url = row["url"]
+            self.res.fetch_order.append((round_, rank, url))
+            result = self._fetch_and_interact(url, round_, gate_set)
+            if result[0] == "failed":
+                for u in result[1]:
+                    if u not in self.completed:
+                        self.failed.add(u)
+                continue
+            if result[0] == "dropped":
+                continue
+            _, chain, spans = result
+            final = chain[0]
+            # F1 at store time, on the final redirect target (Crawl.hs:157)
+            _, final_host, _ = canonicalize(final)
+            if not cl.include_match(final, final_host, self.url_patterns, self.domain_patterns):
+                continue  # nothing: no marks, no store, no links (Crawl.hs:156-162)
+            # D4: mark every chain member completed (Crawl.hs:173-174)
+            for u in chain:
+                self.completed.add(u)
+                self.failed.discard(u)
+            # F4 quota gates only the store (Crawl.hs:178-183)
+            if self.cfg.crawl_limit is None or self.stored_count < self.cfg.crawl_limit:
+                self.res.stored.append(
+                    {
+                        "url": url,
+                        "final_url": final,
+                        "redirect_chain": chain,
+                        "spans": spans,
+                        "round": round_,
+                        "rank_in_round": rank,
+                    }
+                )
+                self.stored_count += 1
+            # link extraction (H2/U6), extraction order; admission deferred
+            for raw in cl.extract_raw_links(spans):
+                link, lhost, kind, msg = resolve(final, raw)
+                if kind == "warning":
+                    self._error("CrawlWarning", final, msg, round_)
+                    continue
+                if kind == "error":
+                    self._error("CrawlError", final, msg, round_)
+                    continue
+                candidates.append((link, lhost))
+
+        # end-of-round admission (D1-D3 as one batch)
+        for link, lhost in candidates:
+            if link in self.completed or link in self.failed:
+                continue
+            self._enqueue(link, lhost, round_, pending_urls)
+
+        for url, state in (
+            [(u, "completed") for u in self.completed] + [(u, "failed") for u in self.failed]
+        ):
+            self.res.url_seen[url] = state

@@ -1,0 +1,136 @@
+"""Snapshot-committed table layer (the engine's "Iceberg").
+
+The container has no Iceberg runtime jar, so this module provides the same
+contract over plain parquet: every table is a directory of immutable data
+snapshots plus a version manifest; a commit is an atomic rename of the
+version pointer; resume = roll every table back to the last round recorded
+in the `runs` table. The layout mirrors Iceberg's snapshot model
+(manifest → data files, append = new snapshot referencing parent's files),
+so a real deployment swaps `SnapshotTable` for an Iceberg catalog table
+with identical call sites (append/overwrite/read/rollback).
+
+This replaces the reference's STM containers (src/Types.hs:24-38) as the
+engine's durable state, and gives the north_rule's "resumable from
+checkpoint with per-partition lineage": each version manifest records the
+round that produced it and the data directories (lineage) it references.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_CURRENT = "_current"
+
+
+class SnapshotTable:
+    def __init__(self, root: str, name: str, schema: StructType):
+        self.name = name
+        self.schema = schema
+        self.path = os.path.join(root, name)
+        os.makedirs(os.path.join(self.path, "_versions"), exist_ok=True)
+        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
+
+    # -- version bookkeeping -------------------------------------------------
+    def _current_version(self) -> int:
+        p = os.path.join(self.path, _CURRENT)
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, version: int) -> dict:
+        if version == 0:
+            return {"version": 0, "round": -1, "dirs": [], "parent": None}
+        with open(os.path.join(self.path, "_versions", f"{version}.json")) as f:
+            return json.load(f)
+
+    def _set_current(self, version: int) -> None:
+        tmp = os.path.join(self.path, _CURRENT + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.path, _CURRENT))  # atomic commit
+
+    def _commit(self, dirs: list[str], round_: int) -> None:
+        parent = self._current_version()
+        version = len(os.listdir(os.path.join(self.path, "_versions"))) + 1
+        manifest = {"version": version, "round": round_, "dirs": dirs, "parent": parent}
+        with open(os.path.join(self.path, "_versions", f"{version}.json"), "w") as f:
+            json.dump(manifest, f)
+        self._set_current(version)
+
+    # -- public API ----------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        dirs = self._manifest(self._current_version())["dirs"]
+        if not dirs:
+            return spark.createDataFrame([], self.schema)
+        return spark.read.schema(self.schema).parquet(*dirs)
+
+    def _write_snapshot(self, df: DataFrame) -> str:
+        target = os.path.join(self.path, "data", f"s-{uuid.uuid4().hex[:12]}")
+        # data files land fully before the manifest references them; a crash
+        # mid-write leaves an orphan dir the manifest never points at
+        df.select(*[f.name for f in self.schema.fields]).write.mode("error").parquet(target)
+        return target
+
+    def append(self, df: DataFrame, round_: int) -> None:
+        target = self._write_snapshot(df)
+        prev = self._manifest(self._current_version())["dirs"]
+        self._commit(prev + [target], round_)
+
+    def overwrite(self, df: DataFrame, round_: int) -> None:
+        target = self._write_snapshot(df)
+        self._commit([target], round_)
+
+    def rollback_to_round(self, round_: int) -> None:
+        """Walk the parent chain to the newest ancestor whose round ≤ round_."""
+        v = self._current_version()
+        while v > 0 and self._manifest(v)["round"] > round_:
+            v = self._manifest(v)["parent"]
+        self._set_current(v)
+
+    def lineage(self) -> list[dict]:
+        """Parent-chain (round, data-dir) lineage — north_rule bookkeeping."""
+        out, v = [], self._current_version()
+        while v > 0:
+            m = self._manifest(v)
+            out.append(m)
+            v = m["parent"]
+        return list(reversed(out))
+
+
+class Catalog:
+    """All engine state tables rooted at one directory."""
+
+    def __init__(self, root: str):
+        from crawler_spark.schema import ALL_TABLES
+
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.tables = {name: SnapshotTable(root, name, schema) for name, schema in ALL_TABLES.items()}
+
+    def __getattr__(self, name: str) -> SnapshotTable:
+        try:
+            return self.tables[name]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(name) from e
+
+    def last_completed_round(self, spark: SparkSession) -> int:
+        runs = self.runs.read(spark)
+        row = runs.agg({"round": "max"}).collect()[0][0]
+        return -1 if row is None else int(row)
+
+    def rollback_to_last_completed(self, spark: SparkSession) -> int:
+        """Resume point: discard any partial writes from an interrupted
+        round (the `runs` append is always the final commit of a round)."""
+        r = self.last_completed_round(spark)
+        for t in self.tables.values():
+            if t.name != "runs":
+                t.rollback_to_round(r)
+        return r

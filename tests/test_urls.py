@@ -1,0 +1,178 @@
+"""Golden + property tests for the URL kernel (SURVEY.md §5.1, U1-U9).
+
+Semantics under test mirror reference src/Urls.hs:25-103.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawler_spark.functions.urls import (
+    canonicalize,
+    canonicalize_series,
+    resolve,
+    resolve_series,
+)
+
+# ---------------------------------------------------------------------------
+# U1-U3 canonicalization goldens
+# ---------------------------------------------------------------------------
+GOLDEN_CANON = [
+    # case normalization (scheme + host)
+    ("HTTP://Example.COM/Path", "http://example.com/Path"),
+    # default port stripping (U2, src/Urls.hs:25-31)
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com:80/a", "https://example.com:80/a"),  # :80 kept for https
+    # fragment discard (U3, src/Urls.hs:45-47)
+    ("http://example.com/a#frag", "http://example.com/a"),
+    ("http://example.com/#", "http://example.com/"),
+    # dot-segment collapse (normalizePathSegments)
+    ("http://example.com/a/./b", "http://example.com/a/b"),
+    ("http://example.com/a/b/../c", "http://example.com/a/c"),
+    ("http://example.com/a/b/c/../../d", "http://example.com/a/d"),
+    ("http://example.com/../a", "http://example.com/a"),
+    # escape normalization (normalizeEscape): uppercase hex, decode unreserved
+    ("http://example.com/%7euser", "http://example.com/~user"),
+    ("http://example.com/%7Euser", "http://example.com/~user"),
+    ("http://example.com/a%2fb", "http://example.com/a%2Fb"),
+    ("http://example.com/caf%c3%a9", "http://example.com/caf%C3%A9"),
+    # query preserved, fragment after query dropped
+    ("http://example.com/a?x=1&y=2#z", "http://example.com/a?x=1&y=2"),
+    # userinfo + port retained (U7 domain = [user@]host[:port])
+    ("http://user@Example.com:8080/p", "http://user@example.com:8080/p"),
+    # trailing slash NOT added (reference does not add one)
+    ("http://example.com", "http://example.com"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", GOLDEN_CANON)
+def test_canonicalize_golden(raw, expected):
+    url, _, err = canonicalize(raw)
+    assert err is None, f"{raw}: unexpected error {err}"
+    assert url == expected
+
+
+GOLDEN_DOMAIN = [
+    ("http://example.com/a/b", "example.com"),
+    ("http://example.com:8080/a", "example.com:8080"),
+    ("http://user:pw@example.com:99/", "user:pw@example.com:99"),
+    ("https://EXAMPLE.com", "example.com"),
+]
+
+
+@pytest.mark.parametrize("raw,dom", GOLDEN_DOMAIN)
+def test_domain_extraction(raw, dom):
+    # U7: bytes between '//' and next '/' — includes userinfo and port
+    _, d, err = canonicalize(raw)
+    assert err is None
+    assert d == dom
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        "not a url",
+        "/relative/only",
+        "example.com/no-scheme",
+        "",
+        "ht!tp://bad-scheme.com",
+    ],
+)
+def test_canonicalize_rejects_non_absolute(raw):
+    url, _, err = canonicalize(raw)
+    assert url is None and err is not None
+
+
+# ---------------------------------------------------------------------------
+# U4-U6 derelativisation goldens (src/Urls.hs:72-98)
+# ---------------------------------------------------------------------------
+BASE = "http://example.com/dir/page.html"
+
+GOLDEN_RESOLVE = [
+    # absolute href → canonicalised directly
+    ("HTTP://Other.COM/x", "http://other.com/x", "ok"),
+    # relative path
+    ("sub/page2.html", "http://example.com/dir/sub/page2.html", "ok"),
+    # root-relative
+    ("/top.html", "http://example.com/top.html", "ok"),
+    # parent traversal
+    ("../up.html", "http://example.com/up.html", "ok"),
+    # query-bearing relative href (U5 parseRelative quirk)
+    ("page2.html?a=1&b=2", "http://example.com/dir/page2.html?a=1&b=2", "ok"),
+    ("?only=query", "http://example.com/dir/page.html?only=query", "ok"),
+    # fragment dropped from raw href (U3 on hrefs, src/Urls.hs:87-88)
+    ("page2.html#sec", "http://example.com/dir/page2.html", "ok"),
+    ("#toc", "http://example.com/dir/page.html", "ok"),
+    # literal spaces percent-encoded (U4, src/Urls.hs:90-91)
+    ("my page.html", "http://example.com/dir/my%20page.html", "ok"),
+    # mailto → warning (src/Urls.hs:74)
+    ("mailto:bob@example.com", None, "warning"),
+    # scheme-relative
+    ("//cdn.example.com/x.js", "http://cdn.example.com/x.js", "ok"),
+]
+
+
+@pytest.mark.parametrize("href,expected,kind", GOLDEN_RESOLVE)
+def test_resolve_golden(href, expected, kind):
+    url, _, k, _ = resolve(BASE, href)
+    assert k == kind
+    assert url == expected
+
+
+def test_resolve_malformed_is_error():
+    url, _, kind, msg = resolve(BASE, "http://bad url with spaces and \x01ctrl")
+    assert kind == "error" and url is None and msg
+
+
+# ---------------------------------------------------------------------------
+# Properties (SURVEY.md §5.4)
+# ---------------------------------------------------------------------------
+url_strat = st.one_of(
+    st.from_regex(
+        r"http://[a-z]{1,8}(\.[a-z]{1,5}){1,2}(:[0-9]{1,4})?(/[A-Za-z0-9._~%-]{0,10}){0,4}(\?[a-z]=[a-z0-9]{0,5})?",
+        fullmatch=True,
+    ),
+    st.text(max_size=30),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(url_strat)
+def test_canonicalize_idempotent(u):
+    first, _, err = canonicalize(u)
+    if err is None:
+        second, _, err2 = canonicalize(first)
+        assert err2 is None
+        assert second == first
+
+
+@settings(max_examples=200, deadline=None)
+@given(url_strat)
+def test_resolve_absolute_equals_canonicalize(u):
+    # resolve(base, absolute) == canonicalize(absolute) (SURVEY.md §5.4)
+    cu, _, err = canonicalize(u)
+    ru, _, kind, _ = resolve(BASE, u.strip())
+    if err is None and not u.split("#")[0].startswith("mailto:"):
+        if kind == "ok":
+            assert ru == cu
+
+
+# ---------------------------------------------------------------------------
+# Vectorized wrappers agree with the scalar kernel
+# ---------------------------------------------------------------------------
+def test_series_wrappers_match_scalar():
+    raws = [g[0] for g in GOLDEN_CANON] + ["not a url", None]
+    out = canonicalize_series(pd.Series(raws, dtype=object))
+    for raw, url in zip(raws, out["url"]):
+        expect = canonicalize(raw)[0] if raw else None
+        assert url == expect
+
+    hrefs = [g[0] for g in GOLDEN_RESOLVE]
+    out2 = resolve_series(pd.Series([BASE] * len(hrefs)), pd.Series(hrefs))
+    for href, url in zip(hrefs, out2["url"]):
+        assert url == resolve(BASE, href)[0]
