@@ -1,0 +1,129 @@
+"""Partitioned bloom sidecar for the URL-seen set (D1, SURVEY.md §4).
+
+The reference holds the seen set in an STM `Set` (src/Types.hs:35-36);
+exact membership at 10^10 URLs can't live in memory. Our design: url_seen
+is bucket-partitioned by `pmod(xxhash64(url), n_buckets)`, and each bucket
+carries a bloom bitmap sidecar file. Candidate admission first consults
+the bucket's bloom (executor-side, partition-local); only *maybe-seen*
+candidates (a small, false-positive-rate-bounded fraction) proceed to the
+exact anti-join, so most candidates never shuffle into it. False
+positives fall through to the exact join — exactness preserved; false
+negatives are impossible because every committed url_seen row is OR-ed
+into its bucket's bitmap before the round commits.
+
+Bit positions derive ONLY from the JVM-computed xxhash64 (splitmix64
+remix, k double-hashed probes) — Python never re-hashes URL strings, so
+JVM and sidecar always agree.
+
+Versioning: one manifest per committed round (bucket → bitmap file);
+resume rolls back to the manifest of the checkpoint round. Bitmaps are
+written once per round per touched bucket (copy-on-write, like an Iceberg
+rewrite of a small metadata file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return x ^ (x >> np.uint64(31))
+
+
+def _probes(url_hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing h1 + i*h2 (Kirsch-Mitzenmacher)."""
+    h = url_hashes.astype(np.int64).view(np.uint64)
+    h1 = _splitmix64(h)
+    h2 = _splitmix64(h1) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+class BloomSidecar:
+    def __init__(self, root: str, n_buckets: int = 32, bits_per_bucket: int = 1 << 20, k: int = 7):
+        self.root = root
+        self.n_buckets = n_buckets
+        self.m_bits = bits_per_bucket
+        self.k = k
+        os.makedirs(os.path.join(root, "bitmaps"), exist_ok=True)
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+
+    # -- manifests ----------------------------------------------------------
+    def _manifest_path(self, round_: int) -> str:
+        return os.path.join(self.root, "manifests", f"r{round_}.json")
+
+    def latest_round(self) -> int:
+        rounds = [
+            int(f[1:-5])
+            for f in os.listdir(os.path.join(self.root, "manifests"))
+            if f.startswith("r") and f.endswith(".json")
+        ]
+        return max(rounds, default=-1)
+
+    def manifest(self, round_: int | None = None) -> dict[str, str]:
+        r = self.latest_round() if round_ is None else round_
+        if r < 0:
+            return {}
+        # walk back to the newest manifest ≤ r (rounds with no merge skip)
+        while r >= 0 and not os.path.exists(self._manifest_path(r)):
+            r -= 1
+        if r < 0:
+            return {}
+        with open(self._manifest_path(r)) as f:
+            return json.load(f)
+
+    def rollback_to_round(self, round_: int) -> None:
+        for f in os.listdir(os.path.join(self.root, "manifests")):
+            if f.startswith("r") and f.endswith(".json") and int(f[1:-5]) > round_:
+                os.remove(os.path.join(self.root, "manifests", f))
+
+    # -- bitmap io ----------------------------------------------------------
+    def _load_bitmap(self, manifest: dict[str, str], bucket: int) -> np.ndarray:
+        path = manifest.get(str(bucket))
+        if path is None:
+            return np.zeros(self.m_bits // 8, dtype=np.uint8)
+        return np.fromfile(path, dtype=np.uint8)
+
+    # -- merge (per round, after D4) ----------------------------------------
+    def merge_hashes(self, url_hashes: np.ndarray, round_: int) -> None:
+        """OR the given xxhash64 values into their buckets; write a new
+        manifest for `round_`. Driver-side here; at cluster scale this runs
+        as applyInPandas per bucket writing to shared storage (same files,
+        same format) — the per-bucket work is identical."""
+        manifest = dict(self.manifest())
+        if len(url_hashes):
+            h = np.asarray(url_hashes, dtype=np.int64)
+            buckets = (h.view(np.uint64) % np.uint64(self.n_buckets)).astype(np.int64)
+            for b in np.unique(buckets):
+                bits = _probes(h[buckets == b], self.k, self.m_bits).ravel()
+                bm = self._load_bitmap(manifest, int(b))
+                np.bitwise_or.at(bm, bits // 8, (1 << (bits % 8)).astype(np.uint8))
+                path = os.path.join(self.root, "bitmaps", f"b{int(b)}_r{round_}.npy")
+                bm.tofile(path)
+                manifest[str(int(b))] = path
+        with open(self._manifest_path(round_), "w") as f:
+            json.dump(manifest, f)
+
+    # -- query (the pre-filter) ---------------------------------------------
+    def maybe_seen(self, url_hashes: pd.Series, manifest: dict[str, str]) -> pd.Series:
+        """Vectorized membership test. True = maybe seen (needs the exact
+        anti-join); False = definitely new (skips it)."""
+        h = url_hashes.to_numpy(dtype=np.int64)
+        if len(h) == 0:
+            return pd.Series([], dtype=bool)
+        out = np.zeros(len(h), dtype=bool)
+        buckets = (h.view(np.uint64) % np.uint64(self.n_buckets)).astype(np.int64)
+        for b in np.unique(buckets):
+            mask = buckets == b
+            bm = self._load_bitmap(manifest, int(b))
+            probes = _probes(h[mask], self.k, self.m_bits)
+            bits_set = (bm[probes // 8] >> (probes % 8).astype(np.uint8)) & 1
+            out[mask] = bits_set.all(axis=1)
+        return pd.Series(out)

@@ -1,0 +1,186 @@
+"""The crawl driver: seed → round loop → checkpointed commits (A6/A7).
+
+Replaces the reference's supervision loop (src/Main.hs:40-68) and worker
+pool (src/Workers.hs). Each round is one DataFrame job whose outputs are
+committed to the snapshot tables; the `runs` append is the LAST commit of
+a round, so `resume()` can roll every table back to the newest round whose
+runs row exists — the north_rule's "resumable from checkpoint with
+per-partition lineage" (lineage = SnapshotTable.lineage()).
+
+Halt conditions (src/Main.hs:61-66): frontier drained, quota reached, or
+max_rounds.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.bloom import BloomSidecar
+from crawler_spark.config import CrawlConfig
+from crawler_spark.plans.closure import build_redirect_closure
+from crawler_spark.plans.round import RoundContext, _err, admit_candidates, run_round
+from crawler_spark.schema import METRICS, RUNS
+from crawler_spark.tables import Catalog
+
+
+class CrawlRun:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: CrawlConfig,
+        state_dir: str,
+        documents: DataFrame,
+        redirects: DataFrame,
+        robots: DataFrame | None,
+        directions: list | None = None,
+        form_instructions: list | None = None,
+        use_bloom: bool = True,
+        bloom_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.config = config
+        self.catalog = Catalog(state_dir)
+        bloom = BloomSidecar(os.path.join(state_dir, "_bloom"), n_buckets=bloom_buckets) if use_bloom else None
+        closure = build_redirect_closure(redirects, config.max_redirects).localCheckpoint()
+        self.ctx = RoundContext(
+            spark=spark,
+            config=config,
+            documents=documents,
+            closure=closure,
+            robots=robots,
+            directions=list(directions or []),
+            form_instructions=list(form_instructions or []),
+            bloom=bloom,
+        )
+        self.run_id = "run"
+        # driver-held round state, restored from the runs table on resume
+        self.round = 0
+        self.next_seq = 0
+        self.stored_total = 0
+
+    # -- seeding (S1/S2: src/Initialisation.hs:97-119, input order) ----------
+    def seed(self, seed_urls: list[str]) -> None:
+        """Canonicalize + admit seeds as checkpoint round -1."""
+        from crawler_spark.functions.urls import register_udfs
+
+        canonicalize_urls, _ = register_udfs()
+        spark = self.spark
+        raw = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(seed_urls)], "pos long, raw string"
+        )
+        canon = raw.withColumn("c", canonicalize_urls(F.trim(F.col("raw")))).select(
+            "pos", "raw", F.col("c.url").alias("url"), F.col("c.host").alias("host"), F.col("c.error").alias("error")
+        ).localCheckpoint()
+        seed_errors = _err(
+            canon.where(F.col("error").isNotNull()),
+            "GeneralError",
+            F.col("raw"),
+            F.concat(F.lit("Could not canonicalise seed: "), F.col("error")),
+            0,
+        )
+        occurrences = canon.where(F.col("error").isNull()).select(
+            "url", "host", F.lit(0).cast("long").alias("ord_rank"), F.col("pos").alias("ord_sub")
+        )
+        empty_urls = spark.createDataFrame([], "url string")
+        frontier_append, host_null_errors = admit_candidates(
+            occurrences, empty_urls, empty_urls, self.ctx, 0, self.next_seq
+        )
+        frontier_append = frontier_append.localCheckpoint()
+        n_new = frontier_append.count()
+        self.catalog.frontier.append(frontier_append, -1)
+        self.catalog.errors.append(seed_errors.unionByName(host_null_errors), -1)
+        self.next_seq += n_new
+        self._commit_run_row(-1, pending=n_new)
+        if self.ctx.bloom is not None:
+            self.ctx.bloom.merge_hashes([], -1)  # empty baseline manifest
+
+    def _commit_run_row(self, round_: int, pending: int) -> None:
+        row = self.spark.createDataFrame(
+            [(self.run_id, round_, "running", self.stored_total, pending, self.next_seq)], RUNS
+        )
+        self.catalog.runs.append(row, round_)
+
+    # -- resume (north_rule) -------------------------------------------------
+    def resume(self) -> int:
+        """Roll all tables (and the bloom sidecar) back to the last round
+        whose runs row committed; restore driver counters. Returns it."""
+        r = self.catalog.rollback_to_last_completed(self.spark)
+        if self.ctx.bloom is not None:
+            self.ctx.bloom.rollback_to_round(r)
+        runs = self.catalog.runs.read(self.spark)
+        last = runs.orderBy(F.desc("round")).limit(1).collect()
+        if last:
+            self.round = last[0]["round"] + 1
+            self.next_seq = last[0]["next_seq"]
+            self.stored_total = last[0]["stored_total"]
+        return r
+
+    # -- the loop ------------------------------------------------------------
+    def run(self, max_rounds: int | None = None) -> int:
+        """Run rounds until drained/quota/max_rounds; returns rounds run."""
+        cfg = self.config
+        limit_rounds = cfg.max_rounds if max_rounds is None else self.round + max_rounds
+        ran = 0
+        while self.round < limit_rounds:
+            if cfg.crawl_limit is not None and self.stored_total >= cfg.crawl_limit:
+                break
+            if not self.run_one_round():
+                break
+            ran += 1
+        return ran
+
+    def run_one_round(self) -> bool:
+        spark, cat, round_ = self.spark, self.catalog, self.round
+        frontier = cat.frontier.read(spark)
+        scheduled = cat.scheduled.read(spark)
+        url_seen = cat.url_seen.read(spark)
+
+        res = run_round(
+            self.ctx, frontier, scheduled, url_seen, round_, self.next_seq, self.stored_total
+        )
+        if res is None:
+            return False
+
+        # commits — runs row last (the checkpoint barrier)
+        cat.scheduled.append(res.scheduled_append, round_)
+        cat.frontier.append(res.frontier_append, round_)
+        cat.url_seen.append(res.url_seen_append, round_)
+        cat.crawled_docs.append(res.crawled_append, round_)
+        cat.errors.append(res.errors_append, round_)
+        metric_rows = [(round_, k, float(v)) for k, v in res.counts.items()]
+        cat.metrics.append(spark.createDataFrame(metric_rows, METRICS), round_)
+        if self.ctx.bloom is not None:
+            hashes = [r["url_hash"] for r in res.url_seen_append.select("url_hash").collect()]
+            import numpy as np
+
+            self.ctx.bloom.merge_hashes(np.array(hashes, dtype=np.int64), round_)
+
+        self.stored_total += res.counts["stored"]
+        self.next_seq += res.counts["new_frontier"]
+        pending_now = res.counts.get("pending_after", -1)
+        self._commit_run_row(round_, pending_now)
+        self.round += 1
+        return True
+
+    # -- trace accessors (tests / parity checks) -----------------------------
+    def fetch_order(self) -> list[tuple[int, int, str]]:
+        rows = (
+            self.catalog.scheduled.read(self.spark)
+            .orderBy("round", "rank")
+            .select("round", "rank", "url")
+            .collect()
+        )
+        return [(r["round"], int(r["rank"]), r["url"]) for r in rows]
+
+    def url_seen_state(self) -> dict[str, str]:
+        """completed beats failed ('completed' < 'failed' ⇒ min)."""
+        rows = (
+            self.catalog.url_seen.read(self.spark)
+            .groupBy("url")
+            .agg(F.min("state").alias("state"))
+            .collect()
+        )
+        return {r["url"]: r["state"] for r in rows}

@@ -1,0 +1,54 @@
+"""Scale-safe deterministic global ranking.
+
+`row_number().over(Window.orderBy(...))` collapses to a single partition —
+fine for a demo, fatal at 10^10 rows. This helper computes the identical
+1-based dense global ordering with a range-partitioned sort plus
+per-partition offsets (two jobs, no single-partition shuffle), the same
+technique as `zipWithIndex` but staying in the DataFrame API.
+
+Used for: the admitted-batch global fetch rank (SURVEY.md §2.6 — the
+round analog of the reference's nondeterministic thread interleaving,
+re-specified as (priority, seq) order per §3.4), and FIFO `seq`
+assignment at discovery (src/PoliteQueue.hs:30 TQueue order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(df: DataFrame, order_cols: list[str], out_col: str, start: int = 1) -> DataFrame:
+    """Append `out_col` = 1-based global rank by `order_cols` (+start-1).
+
+    The order key must be unique per row (ours always ends in `seq` or an
+    extraction-order tiebreak), so the ranking is total and deterministic.
+    """
+    ranged = df.repartitionByRange(*[F.col(c) for c in order_cols])
+    part = ranged.withColumn(
+        "_pid", F.spark_partition_id()
+    ).withColumn(
+        "_prank", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    )
+    # per-partition counts → cumulative offsets; tiny (one row per partition)
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    # repartitionByRange sorts partitions by key range, so _pid order == key
+    # order and offset+prank is the exact global rank
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_prank") + F.col("_offset") + F.lit(start - 1)).cast("long"))
+        .drop("_pid", "_prank", "_offset")
+    )

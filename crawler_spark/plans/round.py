@@ -1,0 +1,465 @@
+"""One crawl round as one DataFrame job (SURVEY.md §3.2).
+
+Pipeline (every stage JVM-side except the two parse UDFs):
+
+  pending   = frontier ⟕anti scheduled          (queue state, append-only)
+  admitted  = per-host salted window rank ≤ budget   (P1-P7 + F6 robots delay)
+  fetched   = admitted ⋈ redirect_closure ⋈ documents (A1 + S9)
+  branched  = decide_branches UDF → direction/meta/form refetch loop (A2/A3)
+  passed    = store-include filter on final URL  (F1 at store time)
+  completed = explode(redirect chains)           (D4)
+  stored    = quota cutoff by global rank        (F4)
+  links     = extract_links UDF → resolve        (H2, U5-U6)
+  admitted' = dedup (bloom + anti-join url_seen, D1) → filters → seq (D2/D3)
+
+Scale posture: all state tables are append-only and hash-bucketable
+(frontier/scheduled by host_hash, url_seen by url_hash); the only global
+orderings (fetch rank, seq assignment) use the two-phase range rank in
+ranking.py, never a single-partition window. The per-round admitted batch
+is the unit of work — its size is governed by per_host_budget × active
+hosts, the round analog of the reference's 20-worker concurrency cap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.bloom import BloomSidecar
+from crawler_spark.config import CrawlConfig
+from crawler_spark.plans import expressions as X
+from crawler_spark.plans.parse import DECISION_SCHEMA, LINKS_SCHEMA, extract_links, make_decide_branches
+from crawler_spark.plans.ranking import global_rank
+
+
+@dataclass
+class RoundContext:
+    """Static per-run inputs (the synthetic web + rules + config)."""
+
+    spark: SparkSession
+    config: CrawlConfig
+    documents: DataFrame  # (doc_id, spans) — the web
+    closure: DataFrame  # build_redirect_closure output, cached
+    robots: DataFrame | None  # (host, allow_prefixes, disallow_prefixes, crawl_delay)
+    directions: list
+    form_instructions: list
+    bloom: BloomSidecar | None = None
+
+
+@dataclass
+class RoundResult:
+    admitted: DataFrame  # (url, url_hash, host, priority, seq, rank)
+    scheduled_append: DataFrame
+    frontier_append: DataFrame
+    url_seen_append: DataFrame
+    crawled_append: DataFrame
+    errors_append: DataFrame
+    counts: dict  # admitted/stored/new_frontier/...
+
+
+def _err(df: DataFrame, kind: str, url_col, message_col, round_: int) -> DataFrame:
+    return df.select(
+        F.lit(kind).alias("kind"),
+        url_col.alias("url"),
+        message_col.alias("message"),
+        F.lit(round_).alias("round"),
+    )
+
+
+def pending_frontier(frontier: DataFrame, scheduled: DataFrame) -> DataFrame:
+    """Queue state: frontier rows whose seq was never consumed. With both
+    tables bucketed by the join key this is a shuffle-free anti-join."""
+    return frontier.join(scheduled.select("seq"), "seq", "left_anti")
+
+
+def schedule(pending: DataFrame, ctx: RoundContext) -> DataFrame:
+    """P1-P7: per-host FIFO truncated to budget, then global fetch rank.
+
+    Two-phase salted window (SURVEY.md P6): phase 1 ranks within
+    (host, salt) — `scheduler_salts`-way parallel even for one hot host —
+    keeping a superset (≤ budget per salt); phase 2 ranks the survivors
+    within host exactly. Identical result to a single per-host window, but
+    the heavy sort never sees more than (budget × salts) rows per host."""
+    cfg = ctx.config
+    # politeness crawl_delay divides the budget whenever a robots table is
+    # present — independent of respect_robots, which gates only
+    # allow/disallow (politeness ≠ access rules; simulator._budget parity)
+    if ctx.robots is not None:
+        delays = ctx.robots.select("host", "crawl_delay")
+        pending = pending.join(F.broadcast(delays), "host", "left")
+    else:
+        pending = pending.withColumn("crawl_delay", F.lit(None).cast("double"))
+    pending = pending.withColumn("budget", X.host_budget_col(cfg.per_host_budget, F.col("crawl_delay")))
+
+    salt = F.pmod(F.col("url_hash"), F.lit(cfg.scheduler_salts))
+    phase1 = pending.withColumn(
+        "_r1",
+        F.row_number().over(
+            Window.partitionBy("host_hash", salt).orderBy("priority", "seq")
+        ),
+    ).where(F.col("_r1") <= F.col("budget"))
+    admitted = (
+        phase1.withColumn(
+            "_r2",
+            F.row_number().over(Window.partitionBy("host_hash").orderBy("priority", "seq")),
+        )
+        .where(F.col("_r2") <= F.col("budget"))
+        .drop("_r1", "_r2", "budget", "crawl_delay", "status", "discovered_round")
+    )
+    return global_rank(admitted, ["priority", "seq"], "rank")
+
+
+def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContext, round_: int):
+    """A1 + A2: redirect-resolved fetch plus the direction → meta-refresh →
+    form interaction loop, driver-unrolled with early exit (each iteration
+    only re-fetches rows that branched; branch depth > 1 is rare).
+
+    gate_urls: one-column (url) round-start gate set for the meta-refresh
+    checkNotDone (src/Crawl.hs:134-140) = url_seen ∪ pending ∪ admitted.
+
+    Returns (docs, failed, errors_list): docs are store-decision rows,
+    failed are (scheduled_url, rank, visited) fetch failures.
+    """
+    cfg = ctx.config
+    decide = make_decide_branches(ctx.directions, ctx.form_instructions, cfg.max_interaction_hops)
+    state = admitted.select(
+        F.col("url").alias("scheduled_url"),
+        "rank",
+        F.col("url").alias("current_url"),
+        F.lit(0).alias("hops"),
+    )
+    docs_parts, failed_parts, errors_parts = [], [], []
+
+    closure = ctx.closure.select(
+        F.col("src_url").alias("current_url"),
+        F.col("final_url").alias("_closure_final"),
+        F.col("visited").alias("_closure_visited"),
+        F.col("aborted").alias("_closure_aborted"),
+    )
+
+    for _hop in range(cfg.max_interaction_hops + 1):
+        fetched = (
+            state.join(closure, "current_url", "left")
+            .withColumn("final", F.coalesce(F.col("_closure_final"), F.col("current_url")))
+            .withColumn(
+                "visited", F.coalesce(F.col("_closure_visited"), F.array(F.col("current_url")))
+            )
+            .withColumn("aborted", F.coalesce(F.col("_closure_aborted"), F.lit(False)))
+            .drop("_closure_final", "_closure_visited", "_closure_aborted")
+        )
+        aborted = fetched.where("aborted")
+        failed_parts.append(aborted.select("scheduled_url", "rank", "visited"))
+        errors_parts.append(
+            _err(
+                aborted,
+                "CrawlError",
+                F.col("scheduled_url"),
+                F.concat(F.lit("Too many redirects from "), F.col("current_url")),
+                round_,
+            )
+        )
+        alive = fetched.where(~F.col("aborted")).join(
+            ctx.documents.withColumnRenamed("doc_id", "final"), "final", "left"
+        )
+        missing = alive.where(F.col("spans").isNull())
+        failed_parts.append(missing.select("scheduled_url", "rank", "visited"))
+        errors_parts.append(
+            _err(
+                missing,
+                "CrawlError",
+                F.col("scheduled_url"),
+                F.concat(F.lit("Fetch failed: "), F.col("final")),
+                round_,
+            )
+        )
+        sized = alive.where(F.col("spans").isNotNull()).withColumn(
+            "too_big", X.doc_size_col(F.col("spans")) > F.lit(cfg.max_content_bytes)
+        )
+        big = sized.where("too_big")
+        failed_parts.append(big.select("scheduled_url", "rank", "visited"))
+        errors_parts.append(
+            _err(
+                big,
+                "CrawlError",
+                F.col("scheduled_url"),
+                F.concat(F.lit("Content too large: "), F.col("final")),
+                round_,
+            )
+        )
+
+        ok = sized.where(~F.col("too_big")).select(
+            "rank", "scheduled_url", F.col("final").alias("final_url"), "hops", "visited", "spans"
+        )
+        decisions = ok.mapInPandas(decide, DECISION_SCHEMA).localCheckpoint()
+        errors_parts.append(
+            decisions.select(F.explode("errors").alias("e")).select(
+                F.col("e.kind").alias("kind"),
+                F.col("e.url").alias("url"),
+                F.col("e.message").alias("message"),
+                F.lit(round_).alias("round"),
+            )
+        )
+        docs_parts.append(
+            decisions.where("decision = 'store'").select(
+                "rank", "scheduled_url", "final_url", "final_host", "visited", "spans"
+            )
+        )
+        # meta-refresh gate: target already seen/pending/admitted ⇒ the row
+        # is dropped entirely — nothing stored (src/Crawl.hs:138-140)
+        meta = decisions.where("decision = 'meta'")
+        meta_ok = meta.join(
+            gate_urls.withColumnRenamed("url", "next_url"), "next_url", "left_anti"
+        )
+        hopped = decisions.where("decision in ('direction', 'form')").unionByName(
+            meta_ok.select(*decisions.columns)
+        )
+        state = hopped.select(
+            "scheduled_url",
+            "rank",
+            F.col("next_url").alias("current_url"),
+            (F.col("hops") + 1).alias("hops"),
+        ).localCheckpoint()
+        if state.isEmpty():
+            break
+
+    docs = docs_parts[0]
+    for d in docs_parts[1:]:
+        docs = docs.unionByName(d)
+    failed = failed_parts[0]
+    for d in failed_parts[1:]:
+        failed = failed.unionByName(d)
+    errors = errors_parts[0]
+    for d in errors_parts[1:]:
+        errors = errors.unionByName(d)
+    return docs.localCheckpoint(), failed.localCheckpoint(), errors.localCheckpoint()
+
+
+def admit_candidates(
+    occurrences: DataFrame,
+    seen_urls: DataFrame,
+    pending_urls: DataFrame,
+    ctx: RoundContext,
+    round_: int,
+    next_seq: int,
+    seen_delta_urls: DataFrame | None = None,
+):
+    """Shared D1-D3 admission pipeline (also used for seeding, S1/S2).
+
+    occurrences: (url, host, ord_rank, ord_sub) — every extraction
+    occurrence, in discovery order (ord_rank = discovering fetch rank,
+    ord_sub = extraction order; seeds use (0, input position)).
+    seen_urls / pending_urls: one-column (url) sets to exclude.
+    seen_delta_urls: THIS round's url_seen append — not yet in the bloom
+    sidecar (it merges at round commit), so it is anti-joined exactly for
+    every candidate; it is one round's delta, i.e. small.
+
+    Check order replicates simulator._enqueue for error parity:
+    seen → include-filter (silent) → null-host (logged!) → robots (silent)
+    → pending (silent) → first-discovery dedup → FIFO seq assignment.
+
+    The seen anti-join is bloom-prefiltered when a sidecar is configured:
+    candidates whose bucket bloom says "definitely new" skip the exact
+    anti-join entirely (src/Types.hs:35-36 at 10^10 scale, SURVEY.md D1).
+    """
+    cfg = ctx.config
+    occ = occurrences
+    if seen_delta_urls is not None:
+        occ = occ.join(seen_delta_urls, "url", "left_anti")
+    if ctx.bloom is not None:
+        bloom, manifest = ctx.bloom, ctx.bloom.manifest()
+
+        def prefilter(batches):
+            import pandas as pd  # noqa: F401
+
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["maybe_seen"] = bloom.maybe_seen(pdf["url_hash"], manifest)
+                yield pdf
+
+        hashed = occ.withColumn("url_hash", F.xxhash64("url"))
+        flagged = hashed.mapInPandas(
+            prefilter,
+            "url string, host string, ord_rank bigint, ord_sub bigint, "
+            "url_hash bigint, maybe_seen boolean",
+        )
+        maybe = flagged.where("maybe_seen").join(seen_urls, "url", "left_anti")
+        fresh = flagged.where("not maybe_seen")
+        not_seen = maybe.unionByName(fresh).drop("maybe_seen", "url_hash")
+    else:
+        not_seen = occ.join(seen_urls, "url", "left_anti")
+
+    included = not_seen.where(
+        X.include_match_col(F.col("url"), F.col("host"), list(cfg.url_include_patterns), list(cfg.domain_include_patterns))
+    )
+    host_null_errors = _err(
+        included.where(F.col("host").isNull()),
+        "GeneralError",
+        F.col("url"),
+        F.lit("Could not get domain from url"),
+        round_,
+    )
+    with_host = included.where(F.col("host").isNotNull())
+
+    if ctx.robots is not None and cfg.respect_robots:
+        rb = ctx.robots.select("host", "allow_prefixes", "disallow_prefixes")
+        with_rb = with_host.join(F.broadcast(rb), "host", "left")
+        allowed = with_rb.where(
+            X.robots_allowed_col(
+                X.url_path_col(F.col("url"), F.col("host")),
+                F.col("allow_prefixes"),
+                F.col("disallow_prefixes"),
+            )
+        ).drop("allow_prefixes", "disallow_prefixes")
+    else:
+        allowed = with_host
+
+    not_pending = allowed.join(pending_urls, "url", "left_anti")
+    # first-discovery wins (simulator: pending_urls grows as it admits)
+    deduped = not_pending.groupBy("url").agg(
+        F.min(F.struct("ord_rank", "ord_sub", "host")).alias("k")
+    ).select("url", F.col("k.ord_rank").alias("ord_rank"), F.col("k.ord_sub").alias("ord_sub"), F.col("k.host").alias("host"))
+
+    ranked = global_rank(deduped, ["ord_rank", "ord_sub"], "_d")
+    frontier_append = ranked.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        "host",
+        F.xxhash64("host").alias("host_hash"),
+        F.lit(0).alias("priority"),
+        (F.col("_d") + F.lit(next_seq - 1)).alias("seq"),
+        F.lit(round_).alias("discovered_round"),
+        F.lit("pending").alias("status"),
+    )
+    return frontier_append, host_null_errors
+
+
+def run_round(
+    ctx: RoundContext,
+    frontier: DataFrame,
+    scheduled: DataFrame,
+    url_seen: DataFrame,
+    round_: int,
+    next_seq: int,
+    stored_total: int,
+) -> RoundResult | None:
+    """Execute round `round_`; returns None when the frontier is drained."""
+    cfg = ctx.config
+    pending = pending_frontier(frontier, scheduled).localCheckpoint()
+    admitted = schedule(pending, ctx).localCheckpoint()
+    if admitted.isEmpty():
+        return None
+
+    seen_urls = url_seen.select("url").localCheckpoint()
+    pending_rest = pending.join(admitted.select("seq"), "seq", "left_anti").select("url", "seq").localCheckpoint()
+    gate_urls = (
+        seen_urls.unionByName(pending.select("url")).distinct().localCheckpoint()
+    )
+
+    docs, failed, fetch_errors = fetch_and_branch(admitted, gate_urls, ctx, round_)
+
+    # F1 at store time on the final redirect target (src/Crawl.hs:157);
+    # failing it drops everything — no marks, no store, no links
+    passed = docs.where(
+        X.include_match_col(
+            F.col("final_url"),
+            F.col("final_host"),
+            list(cfg.url_include_patterns),
+            list(cfg.domain_include_patterns),
+        )
+    ).withColumn("chain", F.array_distinct(F.reverse(F.col("visited")))).localCheckpoint()
+
+    # D4: every chain member completed; completed beats failed
+    completed_new = passed.select(F.explode("chain").alias("url")).distinct()
+    completed_append = completed_new.join(
+        url_seen.where("state = 'completed'").select("url"), "url", "left_anti"
+    ).select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.lit("completed").alias("state"),
+        F.lit(round_).alias("round"),
+    ).localCheckpoint()
+
+    completed_end = url_seen.where("state = 'completed'").select("url").unionByName(
+        completed_append.select("url")
+    )
+    failed_new = (
+        failed.select(F.explode("visited").alias("url"))
+        .distinct()
+        .join(completed_end, "url", "left_anti")
+        .join(url_seen.select("url"), "url", "left_anti")
+        .select(
+            "url",
+            F.xxhash64("url").alias("url_hash"),
+            F.lit("failed").alias("state"),
+            F.lit(round_).alias("round"),
+        )
+    ).localCheckpoint()
+    url_seen_append = completed_append.unionByName(failed_new)
+
+    # F4: quota gates only the store (src/Crawl.hs:178-183); deterministic
+    # cutoff by global fetch rank instead of the reference's racy counter
+    if cfg.crawl_limit is not None:
+        remaining = max(0, cfg.crawl_limit - stored_total)
+        store_ranked = global_rank(passed, ["rank"], "_srank")
+        stored = store_ranked.where(F.col("_srank") <= F.lit(remaining)).drop("_srank")
+    else:
+        stored = passed
+    crawled_append = stored.select(
+        F.col("scheduled_url").alias("url"),
+        "final_url",
+        F.col("chain").alias("redirect_chain"),
+        "spans",
+        F.lit(round_).alias("round"),
+        F.col("rank").cast("int").alias("rank_in_round"),
+    )
+
+    # H2/U6: link extraction from every passed doc (quota-independent)
+    links = passed.select("rank", "final_url", "spans").mapInPandas(
+        extract_links, LINKS_SCHEMA
+    ).localCheckpoint()
+    link_errors = links.where("kind != 'ok'").select(
+        F.when(F.col("kind") == "warning", F.lit("CrawlWarning"))
+        .otherwise(F.lit("CrawlError"))
+        .alias("kind"),
+        F.col("final_url").alias("url"),
+        F.col("message").alias("message"),
+        F.lit(round_).alias("round"),
+    )
+
+    occurrences = links.where("kind = 'ok'").select(
+        "url", "host", F.col("rank").alias("ord_rank"), F.col("extraction_order").cast("long").alias("ord_sub")
+    )
+    frontier_append, host_null_errors = admit_candidates(
+        occurrences,
+        url_seen.select("url"),
+        pending_rest.select("url"),
+        ctx,
+        round_,
+        next_seq,
+        seen_delta_urls=url_seen_append.select("url").localCheckpoint(),
+    )
+    frontier_append = frontier_append.localCheckpoint()
+
+    errors_append = fetch_errors.unionByName(link_errors).unionByName(host_null_errors)
+    scheduled_append = admitted.select(
+        "seq", "url_hash", "url", F.lit(round_).alias("round"), "rank"
+    )
+
+    counts = {
+        "admitted": admitted.count(),
+        "stored": crawled_append.count(),
+        "new_frontier": frontier_append.count(),
+        "completed_new": completed_append.count(),
+        "failed_new": failed_new.count(),
+    }
+    return RoundResult(
+        admitted=admitted,
+        scheduled_append=scheduled_append,
+        frontier_append=frontier_append,
+        url_seen_append=url_seen_append,
+        crawled_append=crawled_append,
+        errors_append=errors_append,
+        counts=counts,
+    )

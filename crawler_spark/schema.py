@@ -118,6 +118,21 @@ FRONTIER = StructType(
     ]
 )
 
+# consumption marker for frontier rows (append-only MERGE-free design):
+# a frontier row is pending iff its seq is absent here. Replaces the
+# reference's queue-pop (src/PoliteQueue.hs:34-64) without rewriting the
+# frontier table — at 10^10 scale every state table is append-only and
+# bucket-partitioned, so a round commits only deltas.
+SCHEDULED = StructType(
+    [
+        StructField("seq", LongType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("url", StringType(), False),
+        StructField("round", IntegerType(), False),
+        StructField("rank", LongType(), False),  # global fetch rank within round
+    ]
+)
+
 # replaces getUrlsCompleted/getUrlsFailed (src/Types.hs:35-37);
 # bucket-partitioned by url_hash, with a bloom sidecar per bucket
 URL_SEEN = StructType(
@@ -169,11 +184,13 @@ RUNS = StructType(
         StructField("status", StringType(), False),  # running | halted
         StructField("stored_total", LongType(), False),
         StructField("frontier_pending", LongType(), False),
+        StructField("next_seq", LongType(), False),  # seq counter carried across rounds
     ]
 )
 
 ALL_TABLES = {
     "frontier": FRONTIER,
+    "scheduled": SCHEDULED,
     "url_seen": URL_SEEN,
     "crawled_docs": CRAWLED_DOCS,
     "errors": ERRORS,

@@ -1,0 +1,138 @@
+"""End-to-end engine ↔ simulator trace equivalence (SURVEY.md §3.4, §5.2).
+
+The single-threaded simulator is the deterministic re-specification of the
+reference's polite-queue discipline; the Spark engine must reproduce its
+fetch order (round, rank), final url_seen state map, stored docs (incl.
+span-sequence equality per BASELINE.json input_hint), and error multiset.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from crawler_spark.config import CrawlConfig
+from crawler_spark.driver import CrawlRun
+from crawler_spark.genweb import generate
+from crawler_spark.simulator import Simulator
+from tests.conftest import web_to_spark
+
+
+def run_both(spark, tmp_state, web, config, max_rounds, use_bloom=True):
+    sim = Simulator(web, config)
+    sim.seed(list(config.seeds))
+    sim_res = sim.run(max_rounds=max_rounds)
+
+    docs, redirects, robots = web_to_spark(spark, web)
+    run = CrawlRun(
+        spark,
+        config,
+        tmp_state,
+        docs,
+        redirects,
+        robots,
+        directions=web.get("href_directions") or [],
+        form_instructions=web.get("form_instructions") or [],
+        use_bloom=use_bloom,
+        bloom_buckets=8,
+    )
+    run.seed(list(config.seeds))
+    run.run(max_rounds=max_rounds)
+    return sim, sim_res, run
+
+
+def assert_equivalent(spark, sim_res, run):
+    # 1. fetch order: exact (round, rank, url) sequence
+    assert run.fetch_order() == sim_res.fetch_order
+
+    # 2. final url_seen state map (completed beats failed)
+    assert run.url_seen_state() == sim_res.url_seen
+
+    # 3. stored docs: key set + span-sequence equality (kind, text,
+    #    media_ref, order) + redirect chain conventions
+    eng = {
+        (r["round"], r["rank_in_round"]): r
+        for r in run.catalog.crawled_docs.read(spark).collect()
+    }
+    sim_stored = {(d["round"], d["rank"] if "rank" in d else d["rank_in_round"]): d for d in sim_res.stored}
+    assert eng.keys() == sim_stored.keys()
+    for k, s in sim_stored.items():
+        e = eng[k]
+        assert e["url"] == s["url"]
+        assert e["final_url"] == s["final_url"]
+        assert list(e["redirect_chain"]) == list(s["redirect_chain"])
+        e_spans = [(sp["kind"], sp["text"], sp["media_ref"], sp["offset"]) for sp in e["spans"]]
+        s_spans = [
+            (sp["kind"], sp.get("text"), sp.get("media_ref"), sp["offset"]) for sp in s["spans"]
+        ]
+        assert e_spans == s_spans
+
+    # 4. error multiset (order within a round is not specified)
+    eng_errors = Counter(
+        (r["round"], r["kind"], r["url"], r["message"])
+        for r in run.catalog.errors.read(spark).collect()
+    )
+    sim_errors = Counter(
+        (r["round"], r["kind"], r["url"], r["message"]) for r in sim_res.errors
+    )
+    assert eng_errors == sim_errors
+
+
+@pytest.mark.parametrize("use_bloom", [True, False])
+def test_basic_crawl_equivalence(spark, tmp_state, use_bloom):
+    web = generate(n_docs=60, n_hosts=8, seed=7, n_redirects=6, long_chain=True)
+    config = CrawlConfig(
+        seeds=tuple(web["seeds"]["url"]),
+        domain_include_patterns=("example.org",),
+        per_host_budget=2,
+    )
+    sim, sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=6, use_bloom=use_bloom)
+    assert len(sim_res.fetch_order) > 10  # the web actually got crawled
+    assert_equivalent(spark, sim_res, run)
+
+
+def test_quota_and_budget(spark, tmp_state):
+    web = generate(n_docs=50, n_hosts=5, seed=11, n_redirects=4, hot_host_frac=0.5)
+    config = CrawlConfig(
+        seeds=tuple(web["seeds"]["url"]),
+        domain_include_patterns=("example.org",),
+        per_host_budget=3,
+        crawl_limit=17,
+        scheduler_salts=4,
+    )
+    sim, sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=8)
+    assert len(sim_res.stored) <= 17
+    assert_equivalent(spark, sim_res, run)
+
+
+def test_interaction_branches(spark, tmp_state):
+    """Directions, meta-refresh, and forms all firing in one crawl."""
+    web = generate(
+        n_docs=40,
+        n_hosts=4,
+        seed=3,
+        n_redirects=3,
+        meta_refresh_rate=0.15,
+        form_rate=0.15,
+        direction_rate=0.2,
+    )
+    config = CrawlConfig(
+        seeds=tuple(web["seeds"]["url"]),
+        domain_include_patterns=("example.org",),
+        per_host_budget=4,
+    )
+    sim, sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=5)
+    assert_equivalent(spark, sim_res, run)
+
+
+def test_url_include_patterns_and_no_robots(spark, tmp_state):
+    web = generate(n_docs=40, n_hosts=6, seed=5, n_redirects=5, private_rate=0.2)
+    config = CrawlConfig(
+        seeds=tuple(web["seeds"]["url"]),
+        url_include_patterns=("host", "/p"),
+        per_host_budget=2,
+        respect_robots=False,
+    )
+    sim, sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=5)
+    assert_equivalent(spark, sim_res, run)
