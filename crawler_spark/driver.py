@@ -64,13 +64,18 @@ class CrawlRun:
     # -- seeding (S1/S2: src/Initialisation.hs:97-119, input order) ----------
     def seed(self, seed_urls: list[str]) -> None:
         """Canonicalize + admit seeds as checkpoint round -1."""
+        raw = self.spark.createDataFrame(
+            [(i, u) for i, u in enumerate(seed_urls)], "pos long, raw string"
+        )
+        self.seed_df(raw)
+
+    def seed_df(self, raw) -> None:
+        """DataFrame-native seeding for large seed sets (pos, raw): the
+        whole admission pipeline runs distributed — no driver round-trip."""
         from crawler_spark.functions.urls import register_udfs
 
         canonicalize_urls, _ = register_udfs()
         spark = self.spark
-        raw = spark.createDataFrame(
-            [(i, u) for i, u in enumerate(seed_urls)], "pos long, raw string"
-        )
         canon = raw.withColumn("c", canonicalize_urls(F.trim(F.col("raw")))).select(
             "pos", "raw", F.col("c.url").alias("url"), F.col("c.host").alias("host"), F.col("c.error").alias("error")
         ).localCheckpoint()
@@ -88,9 +93,7 @@ class CrawlRun:
         frontier_append, host_null_errors = admit_candidates(
             occurrences, empty_urls, empty_urls, self.ctx, 0, self.next_seq
         )
-        frontier_append = frontier_append.localCheckpoint()
-        n_new = frontier_append.count()
-        self.catalog.frontier.append(frontier_append, -1)
+        n_new = self.catalog.frontier.append(frontier_append, -1)
         self.catalog.errors.append(seed_errors.unionByName(host_null_errors), -1)
         self.next_seq += n_new
         self._commit_run_row(-1, pending=n_new)
@@ -124,8 +127,11 @@ class CrawlRun:
         cfg = self.config
         limit_rounds = cfg.max_rounds if max_rounds is None else self.round + max_rounds
         ran = 0
+        stop_flag = os.path.join(self.catalog.root, "_stop")
         while self.round < limit_rounds:
             if cfg.crawl_limit is not None and self.stored_total >= cfg.crawl_limit:
+                break
+            if os.path.exists(stop_flag):  # S13 POST /stop analog
                 break
             if not self.run_one_round():
                 break
@@ -144,24 +150,27 @@ class CrawlRun:
         if res is None:
             return False
 
-        # commits — runs row last (the checkpoint barrier)
-        cat.scheduled.append(res.scheduled_append, round_)
-        cat.frontier.append(res.frontier_append, round_)
-        cat.url_seen.append(res.url_seen_append, round_)
-        cat.crawled_docs.append(res.crawled_append, round_)
-        cat.errors.append(res.errors_append, round_)
-        metric_rows = [(round_, k, float(v)) for k, v in res.counts.items()]
+        # commits — runs row last (the checkpoint barrier); row counts come
+        # from the written parquet footers, so no plan re-executes
+        counts = {
+            "admitted": cat.scheduled.append(res.scheduled_append, round_),
+            "new_frontier": cat.frontier.append(res.frontier_append, round_),
+            "seen_new": cat.url_seen.append(res.url_seen_append, round_),
+            "stored": cat.crawled_docs.append(res.crawled_append, round_),
+            "errors": cat.errors.append(res.errors_append, round_),
+        }
+        metric_rows = [(round_, k, float(v)) for k, v in counts.items()]
         cat.metrics.append(spark.createDataFrame(metric_rows, METRICS), round_)
         if self.ctx.bloom is not None:
-            hashes = [r["url_hash"] for r in res.url_seen_append.select("url_hash").collect()]
             import numpy as np
 
-            self.ctx.bloom.merge_hashes(np.array(hashes, dtype=np.int64), round_)
+            tbl = cat.url_seen.read_snapshot_column(column="url_hash")
+            hashes = tbl["url_hash"].to_numpy() if tbl is not None else np.array([], dtype=np.int64)
+            self.ctx.bloom.merge_hashes(np.asarray(hashes, dtype=np.int64), round_)
 
-        self.stored_total += res.counts["stored"]
-        self.next_seq += res.counts["new_frontier"]
-        pending_now = res.counts.get("pending_after", -1)
-        self._commit_run_row(round_, pending_now)
+        self.stored_total += counts["stored"]
+        self.next_seq += counts["new_frontier"]
+        self._commit_run_row(round_, -1)
         self.round += 1
         return True
 

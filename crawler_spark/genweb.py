@@ -291,7 +291,10 @@ def write_fixture(out_dir: str, **kwargs) -> dict[str, object]:
     for name in ("documents", "redirects", "robots_rules", "seeds", "include_patterns"):
         df = data[name]
         table = pa.Table.from_pandas(df, schema=schemas[name], preserve_index=False)
-        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+        # small row groups keep the file splittable: Spark parallelism on a
+        # parquet scan is bounded by row-group granularity (a single-row-
+        # group file serializes every downstream fused stage onto one task)
+        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"), row_group_size=32768)
     # config fixtures as JSON sidecars
     with open(os.path.join(out_dir, "config_fixtures.json"), "w") as f:
         json.dump(

@@ -1,15 +1,23 @@
-"""Vectorized parse/extract stages (H1–H5, §2.6 branches 1–3).
+"""Vectorized parse/extract stage (H1–H5, §2.6 branches 1–3, A1 failures).
 
-Both stages are `mapInPandas` over Arrow batches — the only Python in the
-round, and it runs exactly once per fetched document per interaction hop
-(the analog of the reference's tagsoup parse, src/Crawl.hs:120). The
-actual semantics live in crawl_logic.py, shared verbatim with the oracle
+ONE `mapInPandas` stage per interaction hop — the only Python in the
+round, the analog of the reference's tagsoup parse (src/Crawl.hs:120). It
+consumes fetch-join output rows and emits, per row, the full disposition:
+
+  failed      — redirect abort / missing doc / body-size cap
+                (src/Fetch.hs:49-70, src/HttpUtil.hs:20-25)
+  direction   — href-direction refetch target    (src/Crawl.hs:123-129)
+  meta        — meta-refresh target, checkNotDone gate applied by the
+                round plan right after                (src/Crawl.hs:130-143)
+  meta_error  — unresolvable meta target ⇒ row dropped
+  form        — form-submission refetch target    (src/Crawl.hs:146-152)
+  store_pass  — stored: final URL passed the include filter; `links`
+                carries the resolved link candidates (src/Crawl.hs:153-162)
+  store_drop  — include filter failed at store time ⇒ nothing stored,
+                no completion marks, no links          (src/Crawl.hs:156-157)
+
+All semantics come from crawl_logic.py, shared verbatim with the oracle
 simulator, so engine-vs-simulator equivalence is by construction.
-
-Branch order per row replicates processResult (src/Crawl.hs:117-153):
-direction → meta-refresh → form → store. The meta-refresh checkNotDone
-gate (src/Crawl.hs:134-140) is NOT applied here — it needs the round-start
-seen/pending sets, which the round plan applies as a join right after.
 """
 
 from __future__ import annotations
@@ -21,51 +29,103 @@ import pandas as pd
 from crawler_spark import crawl_logic as cl
 from crawler_spark.functions.urls import canonicalize, resolve
 
-ERROR_STRUCT = "array<struct<kind:string,url:string,message:string>>"
-
 DECISION_SCHEMA = (
-    "rank bigint, scheduled_url string, final_url string, final_host string, "
+    "rank bigint, scheduled_url string, final_url string, "
     "decision string, next_url string, hops int, visited array<string>, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
-    f"errors {ERROR_STRUCT}"
+    "links array<struct<url:string,host:string,kind:string,message:string,ord:int>>, "
+    "errors array<struct<kind:string,url:string,message:string>>"
 )
 
-LINKS_SCHEMA = (
-    "rank bigint, extraction_order int, final_url string, "
-    "url string, host string, kind string, message string"
-)
+_COLS = [
+    "rank",
+    "scheduled_url",
+    "final_url",
+    "decision",
+    "next_url",
+    "hops",
+    "visited",
+    "spans",
+    "links",
+    "errors",
+]
 
 
-def make_decide_branches(directions, form_instructions, max_interaction_hops: int):
-    """Returns a mapInPandas function over rows
-    (rank, scheduled_url, final_url, hops, visited, spans). `visited` is
-    the redirect traversal of THIS hop's fetch, passed through untouched —
-    store rows derive their completed chain from it (src/Fetch.hs:40-43)."""
+def make_decide(config, directions, form_instructions):
+    """mapInPandas over fetch-join rows
+    (rank, scheduled_url, current_url, hops, final, visited, aborted,
+    too_big, spans?) → full per-row disposition."""
+    url_patterns = list(config.url_include_patterns)
+    domain_patterns = list(config.domain_include_patterns)
+    max_hops = config.max_interaction_hops
 
     def decide(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-lifetime memo caches: the same raw href resolves against
+        # the same base many times across a crawl (Python workers are
+        # reused across batches, so these amortize across rounds too)
+        resolve_memo: dict[tuple, tuple] = {}
+        host_memo: dict[str, str | None] = {}
+
+        def resolve_c(base, raw):
+            key = (base, raw)
+            r = resolve_memo.get(key)
+            if r is None:
+                r = resolve(base, raw)
+                resolve_memo[key] = r
+            return r
+
+        def host_c(u):
+            if u not in host_memo:
+                host_memo[u] = canonicalize(u)[1]
+            return host_memo[u]
+
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                spans = list(row.spans)
-                final = row.final_url
+                visited = list(row.visited)
                 errors: list[dict] = []
+                # A1 failure dispositions first (simulator order)
+                if row.aborted:
+                    errors.append(
+                        {"kind": "CrawlError", "url": row.scheduled_url,
+                         "message": f"Too many redirects from {row.current_url}"}
+                    )
+                    out.append((row.rank, row.scheduled_url, None, "failed", None,
+                                row.hops, visited, None, None, errors))
+                    continue
+                final = row.final
+                if row.spans is None or isinstance(row.spans, float):  # null → None/NaN
+                    errors.append(
+                        {"kind": "CrawlError", "url": row.scheduled_url,
+                         "message": f"Fetch failed: {final}"}
+                    )
+                    out.append((row.rank, row.scheduled_url, final, "failed", None,
+                                row.hops, visited, None, None, errors))
+                    continue
+                if row.too_big:
+                    errors.append(
+                        {"kind": "CrawlError", "url": row.scheduled_url,
+                         "message": f"Content too large: {final}"}
+                    )
+                    out.append((row.rank, row.scheduled_url, final, "failed", None,
+                                row.hops, visited, None, None, errors))
+                    continue
+
+                spans = list(row.spans)
                 decision, next_url = "store", None
-                if row.hops < max_interaction_hops:
+                if row.hops < max_hops:
                     target = cl.find_direction(final, spans, directions)
                     if target is not None:
                         decision, next_url = "direction", target
                     else:
                         raw_meta = cl.find_meta_refresh(spans)
                         if raw_meta is not None:
-                            t, _, kind, msg = resolve(row.scheduled_url, raw_meta)
+                            t, _, kind, msg = resolve_c(row.scheduled_url, raw_meta)
                             if kind != "ok":
                                 decision = "meta_error"
                                 errors.append(
-                                    {
-                                        "kind": "CrawlError",
-                                        "url": row.scheduled_url,
-                                        "message": f"Meta refresh resolve failed: {msg}",
-                                    }
+                                    {"kind": "CrawlError", "url": row.scheduled_url,
+                                     "message": f"Meta refresh resolve failed: {msg}"}
                                 )
                             else:
                                 decision, next_url = "meta", t
@@ -79,51 +139,25 @@ def make_decide_branches(directions, form_instructions, max_interaction_hops: in
                             )
                             if submit is not None:
                                 decision, next_url = "form", submit
-                final_host = canonicalize(final)[1] if decision == "store" else None
-                out.append(
-                    (
-                        row.rank,
-                        row.scheduled_url,
-                        final,
-                        final_host,
-                        decision,
-                        next_url,
-                        row.hops,
-                        list(row.visited),
-                        spans if decision == "store" else None,
-                        errors,
-                    )
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "rank",
-                    "scheduled_url",
-                    "final_url",
-                    "final_host",
-                    "decision",
-                    "next_url",
-                    "hops",
-                    "visited",
-                    "spans",
-                    "errors",
-                ],
-            )
+
+                links = None
+                if decision == "store":
+                    # F1 at store time on the final redirect target
+                    # (src/Crawl.hs:157); failure drops marks+store+links
+                    final_host = host_c(final)
+                    if cl.include_match(final, final_host, url_patterns, domain_patterns):
+                        decision = "store_pass"
+                        links = []
+                        for i, raw in enumerate(cl.extract_raw_links(spans)):
+                            url, host, kind, msg = resolve_c(final, raw)
+                            links.append(
+                                {"url": url, "host": host, "kind": kind, "message": msg, "ord": i}
+                            )
+                    else:
+                        decision = "store_drop"
+                out.append((row.rank, row.scheduled_url, final, decision, next_url,
+                            row.hops, visited, spans if decision == "store_pass" else None,
+                            links, errors))
+            yield pd.DataFrame(out, columns=_COLS)
 
     return decide
-
-
-def extract_links(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas over (rank, final_url, spans): one output row per raw
-    link candidate (H2: 'link' spans + 'media' media_refs, offset order),
-    resolved against the final URL (U5/U6). kind ∈ ok|warning|error."""
-    for pdf in batches:
-        out = []
-        for row in pdf.itertuples(index=False):
-            for i, raw in enumerate(cl.extract_raw_links(list(row.spans))):
-                url, host, kind, msg = resolve(row.final_url, raw)
-                out.append((row.rank, i, row.final_url, url, host, kind, msg))
-        yield pd.DataFrame(
-            out,
-            columns=["rank", "extraction_order", "final_url", "url", "host", "kind", "message"],
-        )

@@ -24,7 +24,12 @@ def global_rank(df: DataFrame, order_cols: list[str], out_col: str, start: int =
     The order key must be unique per row (ours always ends in `seq` or an
     extraction-order tiebreak), so the ranking is total and deterministic.
     """
-    ranged = df.repartitionByRange(*[F.col(c) for c in order_cols])
+    # materialize the range partitioning ONCE: the offsets aggregation and
+    # the final join both consume `part`, and without this barrier each
+    # would re-execute the range shuffle — AQE may then coalesce the two
+    # executions differently, making `_pid` inconsistent between branches
+    # (row loss through the offsets join + duplicate ranks)
+    ranged = df.repartitionByRange(*[F.col(c) for c in order_cols]).localCheckpoint()
     part = ranged.withColumn(
         "_pid", F.spark_partition_id()
     ).withColumn(

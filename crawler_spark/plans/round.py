@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from crawler_spark.bloom import BloomSidecar
 from crawler_spark.config import CrawlConfig
 from crawler_spark.plans import expressions as X
-from crawler_spark.plans.parse import DECISION_SCHEMA, LINKS_SCHEMA, extract_links, make_decide_branches
+from crawler_spark.plans.parse import DECISION_SCHEMA, make_decide
 from crawler_spark.plans.ranking import global_rank
 
 
@@ -56,7 +56,6 @@ class RoundResult:
     url_seen_append: DataFrame
     crawled_append: DataFrame
     errors_append: DataFrame
-    counts: dict  # admitted/stored/new_frontier/...
 
 
 def _err(df: DataFrame, kind: str, url_col, message_col, round_: int) -> DataFrame:
@@ -112,32 +111,34 @@ def schedule(pending: DataFrame, ctx: RoundContext) -> DataFrame:
 
 
 def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContext, round_: int):
-    """A1 + A2: redirect-resolved fetch plus the direction → meta-refresh →
-    form interaction loop, driver-unrolled with early exit (each iteration
-    only re-fetches rows that branched; branch depth > 1 is rare).
+    """A1 + A2 + H1-H5: redirect-resolved fetch plus the direction →
+    meta-refresh → form interaction loop, driver-unrolled with early exit.
+
+    Each hop is ONE materialization: fetch joins (closure + documents,
+    both JVM-side) feed the single decide mapInPandas stage, whose output
+    carries the complete per-row disposition including failures, store
+    include-filtering, and resolved link candidates.
 
     gate_urls: one-column (url) round-start gate set for the meta-refresh
     checkNotDone (src/Crawl.hs:134-140) = url_seen ∪ pending ∪ admitted.
 
-    Returns (docs, failed, errors_list): docs are store-decision rows,
-    failed are (scheduled_url, rank, visited) fetch failures.
+    Returns the list of per-hop decision DataFrames (all localCheckpointed).
     """
     cfg = ctx.config
-    decide = make_decide_branches(ctx.directions, ctx.form_instructions, cfg.max_interaction_hops)
+    decide = make_decide(cfg, ctx.directions, ctx.form_instructions)
     state = admitted.select(
         F.col("url").alias("scheduled_url"),
         "rank",
         F.col("url").alias("current_url"),
         F.lit(0).alias("hops"),
     )
-    docs_parts, failed_parts, errors_parts = [], [], []
-
     closure = ctx.closure.select(
         F.col("src_url").alias("current_url"),
         F.col("final_url").alias("_closure_final"),
         F.col("visited").alias("_closure_visited"),
         F.col("aborted").alias("_closure_aborted"),
     )
+    decision_parts = []
 
     for _hop in range(cfg.max_interaction_hops + 1):
         fetched = (
@@ -148,92 +149,38 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
             )
             .withColumn("aborted", F.coalesce(F.col("_closure_aborted"), F.lit(False)))
             .drop("_closure_final", "_closure_visited", "_closure_aborted")
-        )
-        aborted = fetched.where("aborted")
-        failed_parts.append(aborted.select("scheduled_url", "rank", "visited"))
-        errors_parts.append(
-            _err(
-                aborted,
-                "CrawlError",
-                F.col("scheduled_url"),
-                F.concat(F.lit("Too many redirects from "), F.col("current_url")),
-                round_,
+            .join(ctx.documents.withColumnRenamed("doc_id", "final"), "final", "left")
+            .withColumn(
+                "too_big",
+                F.coalesce(
+                    X.doc_size_col(F.col("spans")) > F.lit(cfg.max_content_bytes), F.lit(False)
+                ),
             )
         )
-        alive = fetched.where(~F.col("aborted")).join(
-            ctx.documents.withColumnRenamed("doc_id", "final"), "final", "left"
-        )
-        missing = alive.where(F.col("spans").isNull())
-        failed_parts.append(missing.select("scheduled_url", "rank", "visited"))
-        errors_parts.append(
-            _err(
-                missing,
-                "CrawlError",
-                F.col("scheduled_url"),
-                F.concat(F.lit("Fetch failed: "), F.col("final")),
-                round_,
-            )
-        )
-        sized = alive.where(F.col("spans").isNotNull()).withColumn(
-            "too_big", X.doc_size_col(F.col("spans")) > F.lit(cfg.max_content_bytes)
-        )
-        big = sized.where("too_big")
-        failed_parts.append(big.select("scheduled_url", "rank", "visited"))
-        errors_parts.append(
-            _err(
-                big,
-                "CrawlError",
-                F.col("scheduled_url"),
-                F.concat(F.lit("Content too large: "), F.col("final")),
-                round_,
-            )
-        )
+        decisions = fetched.mapInPandas(decide, DECISION_SCHEMA).localCheckpoint()
+        decision_parts.append(decisions)
 
-        ok = sized.where(~F.col("too_big")).select(
-            "rank", "scheduled_url", F.col("final").alias("final_url"), "hops", "visited", "spans"
-        )
-        decisions = ok.mapInPandas(decide, DECISION_SCHEMA).localCheckpoint()
-        errors_parts.append(
-            decisions.select(F.explode("errors").alias("e")).select(
-                F.col("e.kind").alias("kind"),
-                F.col("e.url").alias("url"),
-                F.col("e.message").alias("message"),
-                F.lit(round_).alias("round"),
-            )
-        )
-        docs_parts.append(
-            decisions.where("decision = 'store'").select(
-                "rank", "scheduled_url", "final_url", "final_host", "visited", "spans"
-            )
-        )
+        n_branch = decisions.where(
+            "decision in ('direction', 'form', 'meta')"
+        ).limit(1).count()
+        if n_branch == 0:
+            break
         # meta-refresh gate: target already seen/pending/admitted ⇒ the row
         # is dropped entirely — nothing stored (src/Crawl.hs:138-140)
-        meta = decisions.where("decision = 'meta'")
-        meta_ok = meta.join(
-            gate_urls.withColumnRenamed("url", "next_url"), "next_url", "left_anti"
+        meta_ok = (
+            decisions.where("decision = 'meta'")
+            .join(gate_urls.withColumnRenamed("url", "next_url"), "next_url", "left_anti")
+            .select(*decisions.columns)
         )
-        hopped = decisions.where("decision in ('direction', 'form')").unionByName(
-            meta_ok.select(*decisions.columns)
-        )
+        hopped = decisions.where("decision in ('direction', 'form')").unionByName(meta_ok)
         state = hopped.select(
             "scheduled_url",
             "rank",
             F.col("next_url").alias("current_url"),
             (F.col("hops") + 1).alias("hops"),
-        ).localCheckpoint()
-        if state.isEmpty():
-            break
+        )
 
-    docs = docs_parts[0]
-    for d in docs_parts[1:]:
-        docs = docs.unionByName(d)
-    failed = failed_parts[0]
-    for d in failed_parts[1:]:
-        failed = failed.unionByName(d)
-    errors = errors_parts[0]
-    for d in errors_parts[1:]:
-        errors = errors.unionByName(d)
-    return docs.localCheckpoint(), failed.localCheckpoint(), errors.localCheckpoint()
+    return decision_parts
 
 
 def admit_candidates(
@@ -351,41 +298,37 @@ def run_round(
     if admitted.isEmpty():
         return None
 
-    seen_urls = url_seen.select("url").localCheckpoint()
-    pending_rest = pending.join(admitted.select("seq"), "seq", "left_anti").select("url", "seq").localCheckpoint()
-    gate_urls = (
-        seen_urls.unionByName(pending.select("url")).distinct().localCheckpoint()
+    # no distinct: the gate is only ever the right side of an anti-join,
+    # where duplicates are harmless — saves a 10^10-scale aggregate
+    gate_urls = url_seen.select("url").unionByName(pending.select("url"))
+    decision_parts = fetch_and_branch(admitted, gate_urls, ctx, round_)
+    decisions = decision_parts[0]
+    for d in decision_parts[1:]:
+        decisions = decisions.unionByName(d)
+
+    # store_pass rows carry spans + resolved links; chain head = final URL
+    passed = decisions.where("decision = 'store_pass'").withColumn(
+        "chain", F.array_distinct(F.reverse(F.col("visited")))
     )
 
-    docs, failed, fetch_errors = fetch_and_branch(admitted, gate_urls, ctx, round_)
-
-    # F1 at store time on the final redirect target (src/Crawl.hs:157);
-    # failing it drops everything — no marks, no store, no links
-    passed = docs.where(
-        X.include_match_col(
-            F.col("final_url"),
-            F.col("final_host"),
-            list(cfg.url_include_patterns),
-            list(cfg.domain_include_patterns),
-        )
-    ).withColumn("chain", F.array_distinct(F.reverse(F.col("visited")))).localCheckpoint()
-
     # D4: every chain member completed; completed beats failed
-    completed_new = passed.select(F.explode("chain").alias("url")).distinct()
-    completed_append = completed_new.join(
-        url_seen.where("state = 'completed'").select("url"), "url", "left_anti"
-    ).select(
-        "url",
-        F.xxhash64("url").alias("url_hash"),
-        F.lit("completed").alias("state"),
-        F.lit(round_).alias("round"),
-    ).localCheckpoint()
-
+    completed_append = (
+        passed.select(F.explode("chain").alias("url"))
+        .distinct()
+        .join(url_seen.where("state = 'completed'").select("url"), "url", "left_anti")
+        .select(
+            "url",
+            F.xxhash64("url").alias("url_hash"),
+            F.lit("completed").alias("state"),
+            F.lit(round_).alias("round"),
+        )
+    )
     completed_end = url_seen.where("state = 'completed'").select("url").unionByName(
         completed_append.select("url")
     )
     failed_new = (
-        failed.select(F.explode("visited").alias("url"))
+        decisions.where("decision = 'failed'")
+        .select(F.explode("visited").alias("url"))
         .distinct()
         .join(completed_end, "url", "left_anti")
         .join(url_seen.select("url"), "url", "left_anti")
@@ -395,15 +338,16 @@ def run_round(
             F.lit("failed").alias("state"),
             F.lit(round_).alias("round"),
         )
-    ).localCheckpoint()
-    url_seen_append = completed_append.unionByName(failed_new)
+    )
+    url_seen_append = completed_append.unionByName(failed_new).localCheckpoint()
 
     # F4: quota gates only the store (src/Crawl.hs:178-183); deterministic
     # cutoff by global fetch rank instead of the reference's racy counter
     if cfg.crawl_limit is not None:
         remaining = max(0, cfg.crawl_limit - stored_total)
-        store_ranked = global_rank(passed, ["rank"], "_srank")
-        stored = store_ranked.where(F.col("_srank") <= F.lit(remaining)).drop("_srank")
+        stored = global_rank(passed, ["rank"], "_srank").where(
+            F.col("_srank") <= F.lit(remaining)
+        ).drop("_srank")
     else:
         stored = passed
     crawled_append = stored.select(
@@ -415,10 +359,16 @@ def run_round(
         F.col("rank").cast("int").alias("rank_in_round"),
     )
 
-    # H2/U6: link extraction from every passed doc (quota-independent)
-    links = passed.select("rank", "final_url", "spans").mapInPandas(
-        extract_links, LINKS_SCHEMA
-    ).localCheckpoint()
+    # H2/U6: link candidates were resolved inside the decide stage
+    links = passed.select("rank", "final_url", F.explode("links").alias("l")).select(
+        "rank",
+        "final_url",
+        F.col("l.url").alias("url"),
+        F.col("l.host").alias("host"),
+        F.col("l.kind").alias("kind"),
+        F.col("l.message").alias("message"),
+        F.col("l.ord").cast("long").alias("ord_sub"),
+    )
     link_errors = links.where("kind != 'ok'").select(
         F.when(F.col("kind") == "warning", F.lit("CrawlWarning"))
         .otherwise(F.lit("CrawlError"))
@@ -427,10 +377,17 @@ def run_round(
         F.col("message").alias("message"),
         F.lit(round_).alias("round"),
     )
+    decision_errors = decisions.select(F.explode("errors").alias("e")).select(
+        F.col("e.kind").alias("kind"),
+        F.col("e.url").alias("url"),
+        F.col("e.message").alias("message"),
+        F.lit(round_).alias("round"),
+    )
 
     occurrences = links.where("kind = 'ok'").select(
-        "url", "host", F.col("rank").alias("ord_rank"), F.col("extraction_order").cast("long").alias("ord_sub")
+        "url", "host", F.col("rank").alias("ord_rank"), "ord_sub"
     )
+    pending_rest = pending.join(admitted.select("seq"), "seq", "left_anti")
     frontier_append, host_null_errors = admit_candidates(
         occurrences,
         url_seen.select("url"),
@@ -438,22 +395,14 @@ def run_round(
         ctx,
         round_,
         next_seq,
-        seen_delta_urls=url_seen_append.select("url").localCheckpoint(),
+        seen_delta_urls=url_seen_append.select("url"),
     )
     frontier_append = frontier_append.localCheckpoint()
 
-    errors_append = fetch_errors.unionByName(link_errors).unionByName(host_null_errors)
+    errors_append = decision_errors.unionByName(link_errors).unionByName(host_null_errors)
     scheduled_append = admitted.select(
         "seq", "url_hash", "url", F.lit(round_).alias("round"), "rank"
     )
-
-    counts = {
-        "admitted": admitted.count(),
-        "stored": crawled_append.count(),
-        "new_frontier": frontier_append.count(),
-        "completed_new": completed_append.count(),
-        "failed_new": failed_new.count(),
-    }
     return RoundResult(
         admitted=admitted,
         scheduled_append=scheduled_append,
@@ -461,5 +410,4 @@ def run_round(
         url_seen_append=url_seen_append,
         crawled_append=crawled_append,
         errors_append=errors_append,
-        counts=counts,
     )

@@ -1,0 +1,598 @@
+"""Crawl-operator queries for the driver correctness gate.
+
+Each query synthesizes a deterministic URL universe from the TPC-H-ish
+testdata tables and runs a REAL engine operator over it (the same code
+paths the crawl round uses: canonicalize/resolve UDFs, redirect closure,
+salted scheduler window, global rank, robots filter). The paired DuckDB
+SQL states the expected result independently.
+
+Reference parity notes cite /root/reference/src (see SURVEY.md §2 for the
+full mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.plans import expressions as X
+from crawler_spark.plans.closure import build_redirect_closure
+from crawler_spark.plans.ranking import global_rank
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Shared synthetic URL universe (customer-keyed)
+# ---------------------------------------------------------------------------
+
+def _customer_urls(spark, sf_dir):
+    """One URL per customer: http://h<k>.example.org/p<id>, k = id % 53."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.concat(
+            F.lit("http://h"),
+            (F.col("c_custkey") % 53).cast("string"),
+            F.lit(".example.org/p"),
+            F.col("c_custkey").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("c_custkey") % 53).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+    )
+
+
+_URLS_SQL = """
+    SELECT c_custkey AS id,
+           'http://h' || CAST(c_custkey % 53 AS VARCHAR) || '.example.org/p'
+               || CAST(c_custkey AS VARCHAR) AS url,
+           'h' || CAST(c_custkey % 53 AS VARCHAR) || '.example.org' AS host
+    FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# U1-U4: canonicalization (src/Urls.hs:25-47) — messy variants by id % 5
+# ---------------------------------------------------------------------------
+
+def q_canonicalize(spark, sf_dir):
+    from crawler_spark.functions.urls import register_udfs
+
+    canonicalize_urls, _ = register_udfs()
+    base = _customer_urls(spark, sf_dir)
+    messy = base.select(
+        "id",
+        F.when(  # case normalization: scheme+host lowered, path untouched
+            F.col("id") % 5 == 0,
+            F.concat(F.lit("HTTP://"), F.upper(F.col("host")), F.lit("/p"), F.col("id").cast("string")),
+        )
+        .when(
+            F.col("id") % 5 == 1,  # default :80 stripped
+            F.concat(F.lit("http://"), F.col("host"), F.lit(":80/p"), F.col("id").cast("string")),
+        )
+        .when(F.col("id") % 5 == 2, F.concat(F.col("url"), F.lit("#frag"), F.col("id").cast("string")))
+        .when(
+            F.col("id") % 5 == 3,  # dot segments collapsed
+            F.concat(F.lit("http://"), F.col("host"), F.lit("/a/../p"), F.col("id").cast("string")),
+        )
+        .otherwise(F.concat(F.col("url"), F.lit("%41")))  # %41 = unreserved 'A', decoded
+        .alias("raw"),
+    )
+    out = messy.withColumn("c", canonicalize_urls(F.col("raw")))
+    return out.select(
+        "id", F.col("c.url").alias("url"), F.col("c.host").alias("host")
+    ).orderBy("id")
+
+
+ORACLE_CANONICALIZE = f"""
+    WITH urls AS ({_URLS_SQL})
+    SELECT id,
+           CASE WHEN id % 5 = 4 THEN url || 'A' ELSE url END AS url,
+           host
+    FROM urls ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# U5/U6: link resolution (src/Urls.hs:55-98) — href variants by id % 6
+# ---------------------------------------------------------------------------
+
+def q_resolve_links(spark, sf_dir):
+    from crawler_spark.functions.urls import register_udfs
+
+    _, resolve_links = register_udfs()
+    base = _customer_urls(spark, sf_dir)
+    hrefs = base.select(
+        "id",
+        F.col("url").alias("base"),
+        F.when(F.col("id") % 6 == 0, F.concat(F.lit("http://hx.example.org/abs"), F.col("id").cast("string")))
+        .when(F.col("id") % 6 == 1, F.concat(F.lit("rel"), F.col("id").cast("string")))
+        .when(F.col("id") % 6 == 2, F.concat(F.lit("/root"), F.col("id").cast("string")))
+        .when(F.col("id") % 6 == 3, F.concat(F.lit("../up"), F.col("id").cast("string")))
+        .when(F.col("id") % 6 == 4, F.concat(F.lit("mailto:u"), F.col("id").cast("string"), F.lit("@x.org")))
+        .otherwise(F.lit("#frag"))
+        .alias("href"),
+    )
+    out = hrefs.withColumn("r", resolve_links(F.col("base"), F.col("href")))
+    return out.select(
+        "id", "base", "href", F.col("r.url").alias("url"), F.col("r.kind").alias("kind")
+    ).orderBy("id")
+
+
+ORACLE_RESOLVE_LINKS = f"""
+    WITH urls AS ({_URLS_SQL})
+    SELECT id, url AS base,
+           CASE id % 6
+             WHEN 0 THEN 'http://hx.example.org/abs' || CAST(id AS VARCHAR)
+             WHEN 1 THEN 'rel' || CAST(id AS VARCHAR)
+             WHEN 2 THEN '/root' || CAST(id AS VARCHAR)
+             WHEN 3 THEN '../up' || CAST(id AS VARCHAR)
+             WHEN 4 THEN 'mailto:u' || CAST(id AS VARCHAR) || '@x.org'
+             ELSE '#frag' END AS href,
+           CASE id % 6
+             WHEN 0 THEN 'http://hx.example.org/abs' || CAST(id AS VARCHAR)
+             WHEN 1 THEN 'http://' || host || '/rel' || CAST(id AS VARCHAR)
+             WHEN 2 THEN 'http://' || host || '/root' || CAST(id AS VARCHAR)
+             WHEN 3 THEN 'http://' || host || '/up' || CAST(id AS VARCHAR)
+             WHEN 4 THEN NULL
+             ELSE url END AS url,
+           CASE WHEN id % 6 = 4 THEN 'warning' ELSE 'ok' END AS kind
+    FROM urls ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# U7: domain extraction incl. userinfo/port (src/Urls.hs:100-103)
+# ---------------------------------------------------------------------------
+
+def q_host_extract(spark, sf_dir):
+    from crawler_spark.functions.urls import register_udfs
+
+    canonicalize_urls, _ = register_udfs()
+    base = _customer_urls(spark, sf_dir)
+    raw = base.select(
+        "id",
+        F.when(
+            F.col("id") % 3 == 0,
+            F.concat(F.lit("http://u"), F.col("id").cast("string"), F.lit("@"), F.col("host"), F.lit("/p")),
+        )
+        .when(F.col("id") % 3 == 1, F.concat(F.lit("http://"), F.col("host"), F.lit(":8080/p")))
+        .otherwise(F.concat(F.lit("http://"), F.col("host"), F.lit("/p")))
+        .alias("raw"),
+    )
+    out = raw.withColumn("c", canonicalize_urls(F.col("raw")))
+    return out.select("id", F.col("c.host").alias("host")).orderBy("id")
+
+
+ORACLE_HOST_EXTRACT = f"""
+    WITH urls AS ({_URLS_SQL})
+    SELECT id,
+           CASE id % 3
+             WHEN 0 THEN 'u' || CAST(id AS VARCHAR) || '@' || host
+             WHEN 1 THEN host || ':8080'
+             ELSE host END AS host
+    FROM urls ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1: URL-seen anti-join (src/Crawl.hs:203-212) — candidates minus seen
+# ---------------------------------------------------------------------------
+
+def q_urlseen_antijoin(spark, sf_dir):
+    candidates = _customer_urls(spark, sf_dir)
+    seen = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 53).cast("string"),
+            F.lit(".example.org/p"),
+            F.col("o_custkey").cast("string"),
+        ).alias("url")
+    ).distinct()
+    return candidates.join(seen, "url", "left_anti").select("id", "url").orderBy("id")
+
+
+ORACLE_URLSEEN_ANTIJOIN = f"""
+    WITH urls AS ({_URLS_SQL}),
+    seen AS (
+      SELECT DISTINCT 'http://h' || CAST(o_custkey % 53 AS VARCHAR) || '.example.org/p'
+             || CAST(o_custkey AS VARCHAR) AS url
+      FROM orders
+    )
+    SELECT id, url FROM urls
+    WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = urls.url)
+    ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# P1-P6: polite scheduler window (src/PoliteQueue.hs:34-64) over a
+# lineitem-derived frontier; budget 2 per host per round
+# ---------------------------------------------------------------------------
+
+def _frontier_df(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 23).cast("string")).alias("host"),
+        (F.col("l_linenumber") % 3).alias("priority"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+    ).distinct()
+
+
+_FRONTIER_SQL = """
+    SELECT DISTINCT 'h' || CAST(l_suppkey % 23 AS VARCHAR) AS host,
+           l_linenumber % 3 AS priority,
+           l_orderkey * 10 + l_linenumber AS seq
+    FROM lineitem
+"""
+
+_SCHEDULE_ORACLE = f"""
+    WITH frontier AS ({_FRONTIER_SQL}),
+    ranked AS (
+      SELECT host, priority, seq,
+             row_number() OVER (PARTITION BY host ORDER BY priority, seq) AS host_rank
+      FROM frontier
+    ),
+    admitted AS (SELECT * FROM ranked WHERE host_rank <= 2)
+    SELECT host, priority, seq, host_rank,
+           row_number() OVER (ORDER BY priority, seq, host) AS rank
+    FROM admitted ORDER BY rank
+"""
+
+
+def q_schedule_window(spark, sf_dir):
+    """Plain per-host window rank (P2/P3) + two-phase global fetch rank."""
+    fr = _frontier_df(spark, sf_dir)
+    ranked = fr.withColumn(
+        "host_rank", F.row_number().over(Window.partitionBy("host").orderBy("priority", "seq"))
+    ).where(F.col("host_rank") <= 2)
+    return global_rank(ranked, ["priority", "seq", "host"], "rank").orderBy("rank").select(
+        "host", "priority", "seq", "host_rank", "rank"
+    )
+
+
+def q_schedule_salted(spark, sf_dir):
+    """Same admitted set via the skew-safe two-phase salted window (P6):
+    phase 1 ranks within (host, salt) keeping a superset, phase 2 exact.
+    Must equal the plain window's result — same oracle."""
+    fr = _frontier_df(spark, sf_dir).withColumn(
+        "salt", F.pmod(F.xxhash64("seq"), F.lit(8))
+    )
+    phase1 = fr.withColumn(
+        "_r1", F.row_number().over(Window.partitionBy("host", "salt").orderBy("priority", "seq"))
+    ).where(F.col("_r1") <= 2)
+    phase2 = phase1.withColumn(
+        "host_rank", F.row_number().over(Window.partitionBy("host").orderBy("priority", "seq"))
+    ).where(F.col("host_rank") <= 2)
+    return global_rank(phase2, ["priority", "seq", "host"], "rank").orderBy("rank").select(
+        "host", "priority", "seq", "host_rank", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1: include-pattern filter (src/Crawl.hs:214-228)
+# ---------------------------------------------------------------------------
+
+def q_include_filter(spark, sf_dir):
+    urls = _customer_urls(spark, sf_dir)
+    out = urls.where(
+        X.include_match_col(F.col("url"), F.col("host"), ["/p1"], ["h7.example", "h13.example"])
+    )
+    return out.select("id", "url").orderBy("id")
+
+
+ORACLE_INCLUDE_FILTER = f"""
+    WITH urls AS ({_URLS_SQL})
+    SELECT id, url FROM urls
+    WHERE url LIKE '%/p1%' OR host LIKE '%h7.example%' OR host LIKE '%h13.example%'
+    ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# F6: robots longest-prefix-match (north_rule addition)
+# ---------------------------------------------------------------------------
+
+def q_robots_filter(spark, sf_dir):
+    urls = _customer_urls(spark, sf_dir).select(
+        "id",
+        "host",
+        F.when(F.col("id") % 4 == 0, F.concat(F.lit("http://"), F.col("host"), F.lit("/private/p1x")))
+        .when(F.col("id") % 4 == 1, F.concat(F.lit("http://"), F.col("host"), F.lit("/private/z")))
+        .when(F.col("id") % 4 == 2, F.concat(F.lit("http://"), F.col("host"), F.lit("/public/a")))
+        .otherwise(F.concat(F.lit("http://"), F.col("host"), F.lit("/p")))
+        .alias("url"),
+    )
+    # rules exist only for hosts with even index: k % 2 = 0
+    robots = (
+        urls.select("host")
+        .distinct()
+        .withColumn("_k", F.regexp_extract("host", r"^h(\d+)\.", 1).cast("int"))
+        .where(F.col("_k") % 2 == 0)
+        .select(
+            "host",
+            F.array(F.lit("/private/p1")).alias("allow_prefixes"),
+            F.array(F.lit("/private")).alias("disallow_prefixes"),
+        )
+    )
+    joined = urls.join(F.broadcast(robots), "host", "left")
+    out = joined.withColumn(
+        "allowed",
+        F.when(F.col("allow_prefixes").isNull(), F.lit(True)).otherwise(
+            X.robots_allowed_col(
+                X.url_path_col(F.col("url"), F.col("host")),
+                F.col("allow_prefixes"),
+                F.col("disallow_prefixes"),
+            )
+        ),
+    )
+    return out.select("id", "url", "allowed").orderBy("id")
+
+
+ORACLE_ROBOTS_FILTER = f"""
+    WITH urls AS ({_URLS_SQL})
+    SELECT id,
+           'http://' || host || CASE id % 4
+              WHEN 0 THEN '/private/p1x' WHEN 1 THEN '/private/z'
+              WHEN 2 THEN '/public/a' ELSE '/p' END AS url,
+           CASE WHEN (id % 53) % 2 <> 0 THEN TRUE        -- no rule for host
+                WHEN id % 4 = 0 THEN TRUE                -- allow /private/p1 wins (longer)
+                WHEN id % 4 = 1 THEN FALSE               -- disallow /private
+                ELSE TRUE END AS allowed
+    FROM urls ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1: redirect closure (src/Fetch.hs:46-70) — nation-keyed chain n<k> → n0,
+# length k; k > 20 aborts (src/Settings.hs:17-18)
+# ---------------------------------------------------------------------------
+
+def q_redirect_closure(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    edges = n.where(F.col("n_nationkey") >= 1).select(
+        F.concat(F.lit("http://r.example.org/n"), F.col("n_nationkey").cast("string")).alias("src_url"),
+        F.concat(F.lit("http://r.example.org/n"), (F.col("n_nationkey") - 1).cast("string")).alias("dst_url"),
+        F.lit(301).alias("status_code"),
+    )
+    closure = build_redirect_closure(edges, max_redirects=20)
+    return closure.select(
+        "src_url",
+        F.when(F.col("aborted"), F.lit(None)).otherwise(F.col("final_url")).alias("final_url"),
+        "aborted",
+    ).orderBy("src_url")
+
+
+ORACLE_REDIRECT_CLOSURE = """
+    WITH RECURSIVE edges AS (
+      SELECT 'http://r.example.org/n' || CAST(n_nationkey AS VARCHAR) AS src_url,
+             'http://r.example.org/n' || CAST(n_nationkey - 1 AS VARCHAR) AS dst_url
+      FROM nation WHERE n_nationkey >= 1
+    ),
+    walk(src, cur, hops) AS (
+      SELECT src_url, dst_url, 1 FROM edges
+      UNION ALL
+      SELECT w.src, e.dst_url, w.hops + 1
+      FROM walk w JOIN edges e ON e.src_url = w.cur
+      WHERE w.hops <= 20
+    ),
+    finals AS (
+      SELECT src, max(hops) AS max_hops,
+             arg_max(cur, hops) AS last_cur
+      FROM walk GROUP BY src
+    )
+    SELECT src AS src_url,
+           CASE WHEN max_hops >= 21 THEN NULL ELSE last_cur END AS final_url,
+           max_hops >= 21 AS aborted
+    FROM finals ORDER BY src_url
+"""
+
+
+# ---------------------------------------------------------------------------
+# D4: mark-completed — explode redirect chains, distinct (src/Crawl.hs:169-174)
+# ---------------------------------------------------------------------------
+
+def q_mark_completed(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    chains = o.select(
+        F.array(
+            F.concat(F.lit("u"), F.col("o_orderkey").cast("string")),
+            F.concat(F.lit("u"), F.col("o_custkey").cast("string")),
+            F.concat(F.lit("u"), (F.col("o_orderkey") % 7).cast("string")),
+        ).alias("redirect_chain")
+    )
+    return (
+        chains.select(F.explode(F.array_distinct("redirect_chain")).alias("url"))
+        .distinct()
+        .orderBy("url")
+    )
+
+
+ORACLE_MARK_COMPLETED = """
+    SELECT DISTINCT unnest([
+        'u' || CAST(o_orderkey AS VARCHAR),
+        'u' || CAST(o_custkey AS VARCHAR),
+        'u' || CAST(o_orderkey % 7 AS VARCHAR)
+    ]) AS url
+    FROM orders ORDER BY url
+"""
+
+
+# ---------------------------------------------------------------------------
+# F4: deterministic quota cutoff (src/Crawl.hs:171-183) via scalable rank
+# ---------------------------------------------------------------------------
+
+def q_quota_cutoff(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ranked = global_rank(o, ["o_orderdate", "o_orderkey"], "rk")
+    return ranked.where(F.col("rk") <= 1000).select("o_orderkey", "rk").orderBy("rk")
+
+
+ORACLE_QUOTA_CUTOFF = """
+    SELECT o_orderkey, row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rk
+    FROM orders QUALIFY rk <= 1000 ORDER BY rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# D2/D3: frontier merge — first-discovery-wins dedup + FIFO seq
+# (src/Crawl.hs:194-201, src/PoliteQueue.hs:30)
+# ---------------------------------------------------------------------------
+
+def q_frontier_merge(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    occ = li.select(
+        F.concat(F.lit("http://m.example.org/x"), (F.col("l_partkey") % 1000).cast("string")).alias("url"),
+        F.col("l_orderkey").alias("ord_rank"),
+        F.col("l_linenumber").cast("long").alias("ord_sub"),
+    )
+    deduped = (
+        occ.groupBy("url")
+        .agg(F.min(F.struct("ord_rank", "ord_sub")).alias("k"))
+        .select("url", F.col("k.ord_rank").alias("ord_rank"), F.col("k.ord_sub").alias("ord_sub"))
+    )
+    return global_rank(deduped, ["ord_rank", "ord_sub", "url"], "seq").orderBy("seq").select(
+        "url", "ord_rank", "ord_sub", "seq"
+    )
+
+
+ORACLE_FRONTIER_MERGE = """
+    WITH occ AS (
+      SELECT 'http://m.example.org/x' || CAST(l_partkey % 1000 AS VARCHAR) AS url,
+             l_orderkey AS ord_rank, CAST(l_linenumber AS BIGINT) AS ord_sub
+      FROM lineitem
+    ),
+    firsts AS (
+      SELECT url, ord_rank, ord_sub,
+             row_number() OVER (PARTITION BY url ORDER BY ord_rank, ord_sub) AS rn
+      FROM occ QUALIFY rn = 1
+    )
+    SELECT url, ord_rank, ord_sub,
+           row_number() OVER (ORDER BY ord_rank, ord_sub, url) AS seq
+    FROM firsts ORDER BY seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4: per-round metrics counts (src/Crawl.hs:171-183, Shared.hs:12-16)
+# ---------------------------------------------------------------------------
+
+def q_metrics_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("round"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("round")
+    )
+
+
+ORACLE_METRICS_COUNTS = """
+    SELECT CAST(year(o_orderdate) AS INT) AS round,
+           count(*) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY 1 ORDER BY round
+"""
+
+
+QUERIES = {
+    "canonicalize": q_canonicalize,
+    "resolve_links": q_resolve_links,
+    "host_extract": q_host_extract,
+    "urlseen_antijoin": q_urlseen_antijoin,
+    "schedule_window": q_schedule_window,
+    "schedule_salted": q_schedule_salted,
+    "include_filter": q_include_filter,
+    "robots_filter": q_robots_filter,
+    "redirect_closure": q_redirect_closure,
+    "mark_completed": q_mark_completed,
+    "quota_cutoff": q_quota_cutoff,
+    "frontier_merge": q_frontier_merge,
+    "metrics_counts": q_metrics_counts,
+}
+
+ORACLES = {
+    "canonicalize": ORACLE_CANONICALIZE,
+    "resolve_links": ORACLE_RESOLVE_LINKS,
+    "host_extract": ORACLE_HOST_EXTRACT,
+    "urlseen_antijoin": ORACLE_URLSEEN_ANTIJOIN,
+    "schedule_window": _SCHEDULE_ORACLE,
+    "schedule_salted": _SCHEDULE_ORACLE,
+    "include_filter": ORACLE_INCLUDE_FILTER,
+    "robots_filter": ORACLE_ROBOTS_FILTER,
+    "redirect_closure": ORACLE_REDIRECT_CLOSURE,
+    "mark_completed": ORACLE_MARK_COMPLETED,
+    "quota_cutoff": ORACLE_QUOTA_CUTOFF,
+    "frontier_merge": ORACLE_FRONTIER_MERGE,
+    "metrics_counts": ORACLE_METRICS_COUNTS,
+}
+
+
+# ---------------------------------------------------------------------------
+# D5: redirect-chain dedup — nub(chain) (src/Fetch.hs:42); D6: cookie diff —
+# responseCookies \\ cookiesSent (src/Crawl.hs:159). Array set ops on
+# synthesized chains/jars; outputs sorted for order-insensitive compare.
+# ---------------------------------------------------------------------------
+
+def q_chain_dedup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    chain = F.array(
+        F.concat(F.lit("u"), (F.col("o_orderkey") % 11).cast("string")),
+        F.concat(F.lit("u"), (F.col("o_custkey") % 11).cast("string")),
+        F.concat(F.lit("u"), (F.col("o_orderkey") % 11).cast("string")),  # dup
+        F.concat(F.lit("u"), ((F.col("o_orderkey") + 1) % 11).cast("string")),
+    )
+    # engine semantics are order-preserving nub (trace tests cover that);
+    # the oracle compare sorts because DuckDB's list_distinct is unordered
+    return o.select(
+        "o_orderkey", F.array_sort(F.array_distinct(chain)).alias("chain")
+    ).orderBy("o_orderkey")
+
+
+ORACLE_CHAIN_DEDUP = """
+    SELECT o_orderkey,
+           list_sort(list_distinct([
+             'u' || CAST(o_orderkey % 11 AS VARCHAR),
+             'u' || CAST(o_custkey % 11 AS VARCHAR),
+             'u' || CAST(o_orderkey % 11 AS VARCHAR),
+             'u' || CAST((o_orderkey + 1) % 11 AS VARCHAR)
+           ])) AS chain
+    FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_cookie_diff(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    response = F.array(
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 7).cast("string")),
+        F.concat(F.lit("c"), (F.col("o_custkey") % 7).cast("string")),
+        F.concat(F.lit("c"), ((F.col("o_orderkey") + 3) % 7).cast("string")),
+    )
+    sent = F.array(
+        F.concat(F.lit("c"), (F.col("o_custkey") % 7).cast("string")),
+    )
+    return o.select(
+        "o_orderkey", F.array_sort(F.array_except(response, sent)).alias("new_cookies")
+    ).orderBy("o_orderkey")
+
+
+ORACLE_COOKIE_DIFF = """
+    SELECT o_orderkey,
+           list_sort(list_distinct(list_filter(
+             ['c' || CAST(o_orderkey % 7 AS VARCHAR),
+              'c' || CAST(o_custkey % 7 AS VARCHAR),
+              'c' || CAST((o_orderkey + 3) % 7 AS VARCHAR)],
+             x -> x != 'c' || CAST(o_custkey % 7 AS VARCHAR)
+           ))) AS new_cookies
+    FROM orders ORDER BY o_orderkey
+"""
+
+
+QUERIES["chain_dedup"] = q_chain_dedup
+QUERIES["cookie_diff"] = q_cookie_diff
+ORACLES["chain_dedup"] = ORACLE_CHAIN_DEDUP
+ORACLES["cookie_diff"] = ORACLE_COOKIE_DIFF

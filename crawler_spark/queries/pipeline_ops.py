@@ -1,0 +1,673 @@
+"""Training-data pipeline operators over `documents` / `embeddings` /
+`events` (the large-scale corpus-processing layer the crawl feeds).
+
+Design rules:
+- all hot-path logic JVM-side (split/md5/aggregate/transform); hashing is
+  md5-hex→bigint so the DuckDB oracle reproduces values bit-exactly
+- float outputs floored to ints at row level before aggregation so value
+  hashes match across engines
+- pair-generating ops bound their candidate sets explicitly (LSH bands /
+  same-label blocking / shared-shingle blocking), never all-pairs at scale
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_MINHASH = 16
+N_BANDS = 8  # rows-per-band = 2
+SIMHASH_BITS = 32
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_tokens(spark, sf_dir):
+    """documents with non-empty whitespace tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "text",
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0).alias("tokens"),
+    )
+
+
+_TOKENS_SQL = """
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS tokens
+    FROM documents
+"""
+
+
+def _hash60(col):
+    """60-bit bigint from md5 — reproducible in DuckDB as
+    ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content (map-side partial agg for free)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_key"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .orderBy("content_key")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+    SELECT md5(text) AS content_key, min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY content_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingling: 3-word shingles (distinct) per doc
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SPARK = (
+    "array_distinct(transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+    "i -> array_join(slice(tokens, i, 3), ' ')))"
+)
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(tokens) - 2, 0) + 1), "
+    "i -> array_to_string(tokens[i:i+2], ' ')))"
+)
+
+
+def _doc_shingles(spark, sf_dir):
+    return _docs_tokens(spark, sf_dir).select(
+        "doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")
+    ).where(F.size("shingles") > 0)
+
+
+_DOC_SHINGLES_SQL = f"""
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles
+    FROM ({_TOKENS_SQL})
+    WHERE len({_SHINGLES_SQL}) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding (the scale path for near-dedup):
+# shingle → k seeded 60-bit hashes → per-doc min → band buckets →
+# candidate pairs via band equi-join (never all-pairs)
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    sh = _doc_shingles(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(_hash60(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(",", F.col(f"mh{2 * b}").cast("string"), F.col(f"mh{2 * b + 1}").cast("string"))
+            ).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    pair_parts = []
+    for b in range(N_BANDS):
+        left = bands.select(F.col("doc_id").alias("a"), F.col(f"band{b}").alias("bk"))
+        right = bands.select(F.col("doc_id").alias("b"), F.col(f"band{b}").alias("bk"))
+        pair_parts.append(
+            left.join(right, "bk").where(F.col("a") < F.col("b")).select("a", "b")
+        )
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.unionByName(p)
+    return pairs.distinct().orderBy("a", "b")
+
+
+# (built programmatically to keep the 16 min-hash aggregates readable)
+_MH_AGGS = ",\n           ".join(
+    f"min({_hash60_sql(chr(39) + str(i) + ':' + chr(39) + ' || sh')}) AS mh{i}"
+    for i in range(N_MINHASH)
+)
+_BAND_COLS = ",\n           ".join(
+    f"md5(CAST(mh{2 * b} AS VARCHAR) || ',' || CAST(mh{2 * b + 1} AS VARCHAR)) AS band{b}"
+    for b in range(N_BANDS)
+)
+_BAND_UNION = "\n      UNION ALL\n".join(
+    f"      SELECT l.doc_id AS a, r.doc_id AS b FROM bands l JOIN bands r"
+    f" ON l.band{b} = r.band{b} AND l.doc_id < r.doc_id"
+    for b in range(N_BANDS)
+)
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(shingles) AS sh FROM ({_DOC_SHINGLES_SQL})
+    ),
+    sigs AS (
+      SELECT doc_id,
+           {_MH_AGGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id,
+           {_BAND_COLS}
+      FROM sigs
+    ),
+    pairs AS (
+{_BAND_UNION}
+    )
+    SELECT DISTINCT a, b FROM pairs ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints: per-token 60-bit hash → per-bit signed vote →
+# 32-bit fingerprint (document fingerprinting / near-dup at hamming ≤ k)
+# ---------------------------------------------------------------------------
+
+def q_simhash(spark, sf_dir):
+    toks = _docs_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("tokens").alias("tok")
+    ).withColumn("h", _hash60(F.col("tok")))
+    votes = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        "h",
+    ).groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+        ).alias("vote")
+    )
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+    return sig.orderBy("doc_id")
+
+
+ORACLE_SIMHASH = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(tokens) AS tok FROM ({_TOKENS_SQL})
+    ),
+    hashed AS (
+      SELECT doc_id, {_hash60_sql('tok')} AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hashed, (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit)
+      GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs at hamming distance ≤ 6 among a bounded id range
+    (all-pairs only within the bound; the scale path blocks by simhash
+    prefix instead — see tests/test_pipeline_ops.py)."""
+    sig = q_simhash(spark, sf_dir).where(F.col("doc_id") < 300)
+    a = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    pairs = a.join(b, F.col("a") < F.col("b")).withColumn(
+        "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    )
+    return pairs.where(F.col("hamming") <= 6).select("a", "b", "hamming").orderBy("a", "b")
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+    WITH sig AS ({ORACLE_SIMHASH.replace("ORDER BY doc_id", "")})
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+    FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+    WHERE l.doc_id < 300 AND r.doc_id < 300
+      AND bit_count(xor(l.simhash, r.simhash)) <= 6
+    ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard: exact similarity over shared-shingle candidate pairs
+# (blocking join on shingle — candidates share ≥1 shingle, never all-pairs)
+# ---------------------------------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    sh = _doc_shingles(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    left = ex.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "sh")
+    right = ex.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "sh")
+    inter = (
+        left.join(right, "sh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard_micro",
+        F.floor(
+            F.lit(1000000) * F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+        ).cast("long"),
+    )
+    return jac.where(F.col("jaccard_micro") >= 500000).select(
+        "a", "b", "jaccard_micro"
+    ).orderBy("a", "b")
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+    WITH sh AS (
+      SELECT doc_id, shingles, len(shingles) AS n_sh FROM ({_DOC_SHINGLES_SQL})
+    ),
+    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sh),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, l.n_sh AS na, r.n_sh AS nb,
+             count(*) AS n_inter
+      FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT a, b,
+           CAST(floor(1000000.0 * n_inter / (na + nb - n_inter)) AS BIGINT) AS jaccard_micro
+    FROM inter
+    WHERE floor(1000000.0 * n_inter / (na + nb - n_inter)) >= 500000
+    ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup + ANN top-k (brute-force baseline; same-label blocking
+# bounds the pair space — the LSH-bucketed scale path is ann_lsh below)
+# ---------------------------------------------------------------------------
+
+_COSINE = (
+    "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / "
+    "(sqrt(aggregate(transform(va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * "
+    "sqrt(aggregate(transform(vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5000)
+    a = e.select(F.col("vec_id").alias("a"), F.col("label").alias("label"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("label").alias("label"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, "label").where(F.col("a") < F.col("b"))
+    sims = pairs.withColumn("cos_micro", F.floor(F.expr(_COSINE) * 1000000).cast("long"))
+    return sims.where(F.col("cos_micro") >= 900000).select("a", "b", "cos_micro").orderBy("a", "b")
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5000
+    )
+    SELECT l.vec_id AS a, r.vec_id AS b,
+           CAST(floor(1000000 * list_dot_product(l.v, r.v) /
+                (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))) AS BIGINT)
+             AS cos_micro
+    FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE floor(1000000 * list_dot_product(l.v, r.v) /
+          (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))) >= 900000
+    ORDER BY a, b
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the 8 lowest vec_ids as queries —
+    the exactness baseline ANN variants are measured against."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb"))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_micro", F.floor(F.expr(_COSINE) * 1000000).cast("long"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_ANN_COSINE_TOPK = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             CAST(floor(1000000 * list_dot_product(q.vq, e.v) /
+                  (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v)))) AS BIGINT)
+               AS cos_micro
+      FROM q, e WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_micro DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID, quality scoring, token counting, fingerprint
+# ---------------------------------------------------------------------------
+
+_EN = ["the", "and", "of", "to", "in", "is", "it", "for"]
+_ES = ["el", "la", "de", "que", "y", "en", "los", "es"]
+_DE = ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"]
+
+
+def _sql_list(words):
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def q_lang_id(spark, sf_dir):
+    toks = _docs_tokens(spark, sf_dir).select("doc_id", F.explode("tokens").alias("tok"))
+    low = toks.withColumn("tok", F.lower("tok"))
+    hits = low.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("tok").isin(_EN), 1).otherwise(0)).alias("en_hits"),
+        F.sum(F.when(F.col("tok").isin(_ES), 1).otherwise(0)).alias("es_hits"),
+        F.sum(F.when(F.col("tok").isin(_DE), 1).otherwise(0)).alias("de_hits"),
+    )
+    guess = hits.withColumn(
+        "lang_guess",
+        F.when(
+            (F.col("en_hits") >= F.col("es_hits")) & (F.col("en_hits") >= F.col("de_hits")), "en"
+        )
+        .when(F.col("es_hits") >= F.col("de_hits"), "es")
+        .otherwise("de"),
+    )
+    return guess.orderBy("doc_id")
+
+
+ORACLE_LANG_ID = f"""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(tokens)) AS tok FROM ({_TOKENS_SQL})
+    ),
+    hits AS (
+      SELECT doc_id,
+             sum(CASE WHEN list_contains({_sql_list(_EN)}, tok) THEN 1 ELSE 0 END) AS en_hits,
+             sum(CASE WHEN list_contains({_sql_list(_ES)}, tok) THEN 1 ELSE 0 END) AS es_hits,
+             sum(CASE WHEN list_contains({_sql_list(_DE)}, tok) THEN 1 ELSE 0 END) AS de_hits
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(en_hits AS BIGINT) AS en_hits, CAST(es_hits AS BIGINT) AS es_hits,
+           CAST(de_hits AS BIGINT) AS de_hits,
+           CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS lang_guess
+    FROM hits ORDER BY doc_id
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    d = _docs_tokens(spark, sf_dir)
+    stop_all = _EN + _ES + _DE
+    out = d.select(
+        "doc_id",
+        F.size("tokens").alias("n_words"),
+        F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).alias("n_punct"),
+        F.size(F.filter("tokens", lambda t: F.lower(t).isin(stop_all))).alias("n_stopwords"),
+        F.length("text").alias("n_chars_seen"),
+    ).withColumn(
+        "stop_ratio_milli",
+        F.floor(F.lit(1000) * F.col("n_stopwords") / F.greatest(F.col("n_words"), F.lit(1))).cast("long"),
+    ).withColumn(
+        "quality_ok",
+        (F.col("n_words") >= 5) & (F.col("stop_ratio_milli") >= 10),
+    )
+    return out.orderBy("doc_id")
+
+
+ORACLE_QUALITY_SCORE = f"""
+    WITH t AS ({_TOKENS_SQL})
+    SELECT doc_id,
+           CAST(len(tokens) AS INT) AS n_words,
+           CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INT) AS n_punct,
+           CAST(len(list_filter(tokens, x -> list_contains({_sql_list(_EN + _ES + _DE)}, lower(x)))) AS INT)
+             AS n_stopwords,
+           CAST(length(text) AS INT) AS n_chars_seen,
+           CAST(floor(1000.0 * len(list_filter(tokens, x -> list_contains({_sql_list(_EN + _ES + _DE)}, lower(x))))
+                / greatest(len(tokens), 1)) AS BIGINT) AS stop_ratio_milli,
+           len(tokens) >= 5 AND
+             floor(1000.0 * len(list_filter(tokens, x -> list_contains({_sql_list(_EN + _ES + _DE)}, lower(x))))
+                   / greatest(len(tokens), 1)) >= 10 AS quality_ok
+    FROM t ORDER BY doc_id
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace words + a BPE-ish subword estimate (ceil(len/4) pieces
+    per word — deterministic stand-in for a real tokenizer)."""
+    d = _docs_tokens(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size("tokens").alias("n_words"),
+        F.aggregate(
+            F.transform("tokens", lambda t: F.ceil(F.length(t) / F.lit(4.0)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TOKEN_COUNT = f"""
+    WITH t AS ({_TOKENS_SQL})
+    SELECT doc_id, CAST(len(tokens) AS INT) AS n_words,
+           CAST(list_sum(list_transform(tokens, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM t ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: 60-bit hash of the whitespace-normalized,
+    lowercased text (rolling-hash stand-in, md5-based for oracle parity)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return d.select("doc_id", _hash60(norm).alias("fingerprint")).orderBy("doc_id")
+
+
+_NORM_TEXT_SQL = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+ORACLE_FINGERPRINT = f"""
+    SELECT doc_id,
+           {_hash60_sql(_NORM_TEXT_SQL)} AS fingerprint
+    FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming analog: tumbling-window event aggregation (the round-based
+# engine's counterpart of watermarked windowed aggs; exact-int sums)
+# ---------------------------------------------------------------------------
+
+def q_event_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_EVENT_WINDOW = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary media column + deterministic decode stub.
+# The Spark side runs the REAL mapInPandas decode path
+# (crawler_spark/functions/media.py); the stub's outputs are pure functions
+# of the payload bytes, so the oracle can state them in SQL.
+# ---------------------------------------------------------------------------
+
+def q_media_decode(spark, sf_dir):
+    from crawler_spark.functions.media import decode_media_batch
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = d.mapInPandas(
+        decode_media_batch,
+        "doc_id bigint, n_bytes int, width int, height int, n_frames int",
+    )
+    return out.orderBy("doc_id")
+
+
+ORACLE_MEDIA_DECODE = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 1024 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 768 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+    FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "event_window": q_event_window,
+    "media_decode": q_media_decode,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "simhash": ORACLE_SIMHASH,
+    "simhash_pairs": ORACLE_SIMHASH_PAIRS,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
+    "lang_id": ORACLE_LANG_ID,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "fingerprint": ORACLE_FINGERPRINT,
+    "event_window": ORACLE_EVENT_WINDOW,
+    "media_decode": ORACLE_MEDIA_DECODE,
+}
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: sign-random-projection LSH bucketing. Brute-force cosine
+# is quadratic; at corpus scale we hash each vector to a b-bit bucket of
+# deterministic pseudo-random hyperplane signs and only score within
+# (query bucket = corpus bucket) — candidates drop by ~2^b. Approximate by
+# construction, so there is no SQL oracle; tests/test_pipeline_ops.py
+# checks recall ≥ 0.5 vs q_ann_cosine_topk on the same data instead
+# (random projections preserve cosine locality).
+# ---------------------------------------------------------------------------
+
+ANN_LSH_BITS = 3
+ANN_LSH_TABLES = 3
+
+
+def _proj_vector(table: int, bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: splitmix-style ints → ±1."""
+    out = []
+    x = (table * 131 + bit + 1) * 0x9E3779B97F4A7C15
+    for _ in range(dim):
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        out.append(1.0 if (x >> 63) & 1 else -1.0)
+    return out
+
+
+def _with_buckets(df, vec_col: str, dim: int):
+    """Append one bucket column per LSH table (sign of b projections)."""
+    out = df
+    for t in range(ANN_LSH_TABLES):
+        bucket = F.lit(0)
+        for b in range(ANN_LSH_BITS):
+            proj = F.array(*[F.lit(v) for v in _proj_vector(t, b, dim)])
+            out = out.withColumn(f"_p{t}_{b}", proj)
+            dot = F.expr(
+                f"aggregate(zip_with({vec_col}, _p{t}_{b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            bucket = bucket + F.when(dot >= 0, F.lit(1 << b)).otherwise(0)
+        out = out.withColumn(f"bucket{t}", bucket).drop(
+            *[f"_p{t}_{b}" for b in range(ANN_LSH_BITS)]
+        )
+    return out
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Multi-table bucketed approximate top-5: candidates = union over
+    tables of same-bucket pairs (each table join is an equi-join on the
+    bucket id — never all-pairs), then exact cosine rank within them."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+
+    corpus = _with_buckets(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb")), "vb", dim
+    )
+    queries = _with_buckets(
+        e.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
+        ),
+        "va",
+        dim,
+    )
+    cand_parts = []
+    for t in range(ANN_LSH_TABLES):
+        qs = queries.select("query_id", "va", F.col(f"bucket{t}").alias("bk"))
+        cs = corpus.select("neighbor_id", "vb", F.col(f"bucket{t}").alias("bk"))
+        cand_parts.append(cs.join(F.broadcast(qs), "bk").drop("bk"))
+    cands = cand_parts[0]
+    for c in cand_parts[1:]:
+        cands = cands.unionByName(c)
+    scored = (
+        cands.select("query_id", "neighbor_id", "va", "vb")
+        .distinct()
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_micro", F.floor(F.expr(_COSINE) * 1000000).cast("long"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
+# no ORACLES entry: approximate by construction (driver records rows-only)

@@ -27,6 +27,17 @@ from pyspark.sql.types import StructType
 _CURRENT = "_current"
 
 
+def _dir_row_count(path: str) -> int:
+    """Row count from parquet footers (no data read)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+    return total
+
+
 class SnapshotTable:
     def __init__(self, root: str, name: str, schema: StructType):
         self.name = name
@@ -79,14 +90,29 @@ class SnapshotTable:
         df.select(*[f.name for f in self.schema.fields]).write.mode("error").parquet(target)
         return target
 
-    def append(self, df: DataFrame, round_: int) -> None:
+    def append(self, df: DataFrame, round_: int) -> int:
+        """Append a snapshot; returns the appended row count (read from
+        the written parquet footers — no plan re-execution)."""
         target = self._write_snapshot(df)
         prev = self._manifest(self._current_version())["dirs"]
         self._commit(prev + [target], round_)
+        return _dir_row_count(target)
 
-    def overwrite(self, df: DataFrame, round_: int) -> None:
+    def overwrite(self, df: DataFrame, round_: int) -> int:
         target = self._write_snapshot(df)
         self._commit([target], round_)
+        return _dir_row_count(target)
+
+    def read_snapshot_column(self, version_offset: int = 0, column: str | None = None):
+        """Driver-side pyarrow read of the newest data dir (for small
+        per-round deltas, e.g. bloom merges) — avoids a Spark collect."""
+        import pyarrow.parquet as pq
+
+        dirs = self._manifest(self._current_version())["dirs"]
+        if not dirs:
+            return None
+        table = pq.read_table(dirs[-1], columns=[column] if column else None)
+        return table
 
     def rollback_to_round(self, round_: int) -> None:
         """Walk the parent chain to the newest ancestor whose round ≤ round_."""

@@ -1,0 +1,97 @@
+"""Training-data pipeline op tests: properties the DuckDB value-hash gate
+can't express — ANN recall, LSH candidate quality, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from crawler_spark.queries.pipeline_ops import q_ann_cosine_topk, q_ann_lsh_topk
+
+    exact = q_ann_cosine_topk(spark, SF).collect()
+    approx = q_ann_lsh_topk(spark, SF).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    assert hits / total >= 0.5  # 4-bit SRP buckets keep ≥ half the true top-5
+
+
+def test_minhash_lsh_catches_planted_near_dups(spark):
+    """Plant near-duplicate texts; LSH candidate pairs must include them."""
+    import pandas as pd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through "
+        "the quiet field towards the old stone bridge near the river bank"
+    )
+    near = base.replace("quiet", "silent")  # one-token change
+    far = "completely different words having nothing in common with anything here at all"
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [base, near, far], "lang": ["en"] * 3,
+         "source": ["s"] * 3, "n_chars": [len(base), len(near), len(far)]}
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(dir="/root/repo/_data" if os.path.isdir("/root/repo/_data") else None)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+    from crawler_spark.queries.pipeline_ops import q_dedup_minhash_lsh
+
+    pairs = {(r["a"], r["b"]) for r in q_dedup_minhash_lsh(spark, d).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_media_decode_stub_plumbing(spark):
+    """Binary column → mapInPandas decode → typed metadata; frame sampler
+    expands rows (UDTF shape)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.media import sample_frames_batch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    frames = payloads.mapInPandas(
+        sample_frames_batch, "doc_id bigint, frame_idx int, feature_hash int"
+    ).collect()
+    assert len(frames) >= 50  # every doc yields ≥1 sampled frame (idx 0)
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for idxs in by_doc.values():
+        assert idxs == sorted(idxs) and idxs[0] == 0
+        assert all(i % 10 == 0 for i in idxs)
+
+
+def test_simhash_near_dup_property(spark):
+    """A one-token change must keep hamming distance small; unrelated text
+    should be farther away (on average)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "tokX")
+    far = " ".join(f"zzz{i}" for i in range(60))
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [base, near, far], "lang": ["en"] * 3,
+         "source": ["s"] * 3, "n_chars": [1, 1, 1]}
+    )
+    d = tempfile.mkdtemp(dir="/root/repo/_data" if os.path.isdir("/root/repo/_data") else None)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+    from crawler_spark.queries.pipeline_ops import q_simhash
+
+    sig = {r["doc_id"]: r["simhash"] for r in q_simhash(spark, d).collect()}
+    ham_near = bin(sig[0] ^ sig[1]).count("1")
+    ham_far = bin(sig[0] ^ sig[2]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 8
