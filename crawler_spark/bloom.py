@@ -85,11 +85,23 @@ class BloomSidecar:
                 os.remove(os.path.join(self.root, "manifests", f))
 
     # -- bitmap io ----------------------------------------------------------
+    # worker-lifetime cache: executors consult the same bucket bitmaps for
+    # every Arrow batch of every round — re-reading ~MB files per batch
+    # would dominate the pre-filter. Bitmap files are immutable
+    # (copy-on-write per round), so caching by path is always safe.
+    _bitmap_cache: dict = {}
+
     def _load_bitmap(self, manifest: dict[str, str], bucket: int) -> np.ndarray:
         path = manifest.get(str(bucket))
         if path is None:
             return np.zeros(self.m_bits // 8, dtype=np.uint8)
-        return np.fromfile(path, dtype=np.uint8)
+        bm = BloomSidecar._bitmap_cache.get(path)
+        if bm is None:
+            bm = np.fromfile(path, dtype=np.uint8)
+            if len(BloomSidecar._bitmap_cache) > 256:  # bound worker memory
+                BloomSidecar._bitmap_cache.clear()
+            BloomSidecar._bitmap_cache[path] = bm
+        return bm
 
     # -- merge (per round, after D4) ----------------------------------------
     def merge_hashes(self, url_hashes: np.ndarray, round_: int) -> None:
@@ -103,7 +115,7 @@ class BloomSidecar:
             buckets = (h.view(np.uint64) % np.uint64(self.n_buckets)).astype(np.int64)
             for b in np.unique(buckets):
                 bits = _probes(h[buckets == b], self.k, self.m_bits).ravel()
-                bm = self._load_bitmap(manifest, int(b))
+                bm = self._load_bitmap(manifest, int(b)).copy()  # don't mutate cache
                 np.bitwise_or.at(bm, bits // 8, (1 << (bits % 8)).astype(np.uint8))
                 path = os.path.join(self.root, "bitmaps", f"b{int(b)}_r{round_}.npy")
                 bm.tofile(path)

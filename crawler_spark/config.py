@@ -37,6 +37,10 @@ class CrawlConfig:
     max_rounds: int = 1000
     # robots evaluation is a north_rule addition (absent in reference)
     respect_robots: bool = True
+    # S6 (-p addr:port, src/Initialisation.hs:121-136): carried in the run
+    # config; fetch-simulate ignores it, a real HTTP fetch stage passes it
+    # to its client — same slot, same semantics
+    proxy: str | None = None
 
     def to_json(self) -> str:
         d = {k: list(v) if isinstance(v, tuple) else v for k, v in self.__dict__.items()}

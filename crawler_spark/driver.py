@@ -174,6 +174,11 @@ class CrawlRun:
         self.round += 1
         return True
 
+    def lineage_report(self) -> dict:
+        """Per-table (round → data dirs) lineage — the north_rule's
+        per-partition provenance record for every committed round."""
+        return {name: t.lineage() for name, t in self.catalog.tables.items()}
+
     # -- trace accessors (tests / parity checks) -----------------------------
     def fetch_order(self) -> list[tuple[int, int, str]]:
         rows = (
