@@ -183,7 +183,9 @@ ORACLE_HOST_EXTRACT = f"""
 
 def q_urlseen_antijoin(spark, sf_dir):
     candidates = _customer_urls(spark, sf_dir)
-    seen = _t(spark, sf_dir, "orders").select(
+    # seen = a quarter of the order-derived URLs, so the anti-join output
+    # is non-trivially non-empty at every sf
+    seen = _t(spark, sf_dir, "orders").where("o_orderkey % 4 = 0").select(
         F.concat(
             F.lit("http://h"),
             (F.col("o_custkey") % 53).cast("string"),
@@ -199,7 +201,7 @@ ORACLE_URLSEEN_ANTIJOIN = f"""
     seen AS (
       SELECT DISTINCT 'http://h' || CAST(o_custkey % 53 AS VARCHAR) || '.example.org/p'
              || CAST(o_custkey AS VARCHAR) AS url
-      FROM orders
+      FROM orders WHERE o_orderkey % 4 = 0
     )
     SELECT id, url FROM urls
     WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = urls.url)

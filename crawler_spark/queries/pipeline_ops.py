@@ -56,9 +56,16 @@ def _hash60_sql(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    """Exact dedup over the corpus plus simulated re-crawls (every 5th doc
+    reappears under a new id — the id-differs/content-identical case a
+    crawler's store dedup must collapse)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawled = d.where("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(recrawled)
     return (
-        d.groupBy(F.md5("text").alias("content_key"))
+        corpus.groupBy(F.md5("text").alias("content_key"))
         .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
         .where(F.col("n_copies") > 1)
         .orderBy("content_key")
@@ -66,8 +73,13 @@ def q_dedup_exact(spark, sf_dir):
 
 
 ORACLE_DEDUP_EXACT = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    )
     SELECT md5(text) AS content_key, min(doc_id) AS canonical_id, count(*) AS n_copies
-    FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY content_key
+    FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY content_key
 """
 
 
@@ -308,7 +320,10 @@ def q_embedding_neardup(spark, sf_dir):
     b = e.select(F.col("vec_id").alias("b"), F.col("label").alias("label"), F.col("embedding").alias("vb"))
     pairs = a.join(b, "label").where(F.col("a") < F.col("b"))
     sims = pairs.withColumn("cos_micro", F.floor(F.expr(_COSINE) * 1000000).cast("long"))
-    return sims.where(F.col("cos_micro") >= 900000).select("a", "b", "cos_micro").orderBy("a", "b")
+    # the synthetic embeddings are near-random (same-label max cosine
+    # ≈ 0.47) — 0.35 selects the ~0.1% most-similar pairs, keeping the
+    # output non-trivially non-empty at every sf
+    return sims.where(F.col("cos_micro") >= 350000).select("a", "b", "cos_micro").orderBy("a", "b")
 
 
 ORACLE_EMBEDDING_NEARDUP = """
@@ -321,7 +336,7 @@ ORACLE_EMBEDDING_NEARDUP = """
              AS cos_micro
     FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
     WHERE floor(1000000 * list_dot_product(l.v, r.v) /
-          (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))) >= 900000
+          (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))) >= 350000
     ORDER BY a, b
 """
 
