@@ -41,9 +41,14 @@ def global_rank(df: DataFrame, order_cols: list[str], out_col: str, start: int =
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .withColumn(
             "_offset",
+            # one row per range partition (≤ a few hundred) — the constant
+            # partition key just tells Spark this single-group window is
+            # intentional (it would otherwise warn)
             F.coalesce(
                 F.sum("_cnt").over(
-                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                    Window.partitionBy(F.lit(0))
+                    .orderBy("_pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
