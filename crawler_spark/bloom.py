@@ -123,6 +123,24 @@ class BloomSidecar:
         with open(self._manifest_path(round_), "w") as f:
             json.dump(manifest, f)
 
+    def merge_dir(self, snapshot_dir: str, round_: int) -> None:
+        """Merge the url_hash column of one staged/committed snapshot dir
+        (the round's url_seen delta) — parquet footers only list the delta,
+        so the per-round merge cost is O(new URLs), never O(table)."""
+        import pyarrow.parquet as pq
+
+        files = [
+            os.path.join(snapshot_dir, f)
+            for f in os.listdir(snapshot_dir)
+            if f.endswith(".parquet")
+        ]
+        if files:
+            cols = [pq.read_table(f, columns=["url_hash"])["url_hash"] for f in files]
+            hashes = np.concatenate([c.to_numpy(zero_copy_only=False) for c in cols])
+        else:
+            hashes = np.array([], dtype=np.int64)
+        self.merge_hashes(hashes.astype(np.int64), round_)
+
     # -- query (the pre-filter) ---------------------------------------------
     def maybe_seen(self, url_hashes: pd.Series, manifest: dict[str, str]) -> pd.Series:
         """Vectorized membership test. True = maybe seen (needs the exact

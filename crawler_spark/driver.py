@@ -18,12 +18,46 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from concurrent.futures import Future, ThreadPoolExecutor
+
 from crawler_spark.bloom import BloomSidecar
 from crawler_spark.config import CrawlConfig
 from crawler_spark.plans.closure import build_redirect_closure
 from crawler_spark.plans.round import RoundContext, _err, admit_candidates, run_round
-from crawler_spark.schema import METRICS, RUNS
 from crawler_spark.tables import Catalog
+
+
+class _Stager:
+    """Write-through materializer for a round's table appends.
+
+    `materialize` writes the DataFrame to the table's next (uncommitted)
+    snapshot dir and returns a reader over it — one Spark write job where
+    localCheckpoint-then-append would run two. `submit` does the same from
+    a pool thread for appends nothing downstream consumes this round
+    (Spark supports concurrent job submission from driver threads).
+    Manifest commits happen later at the round barrier; a crash before
+    then leaves only orphan data dirs no manifest references.
+    """
+
+    def __init__(self, spark, catalog: Catalog, pool: ThreadPoolExecutor):
+        self.spark = spark
+        self.catalog = catalog
+        self.pool = pool
+        self.futures: dict[str, Future] = {}
+
+    def submit(self, name: str, df) -> None:
+        self.futures[name] = self.pool.submit(self.catalog.tables[name].stage, df)
+
+    def materialize(self, name: str, df):
+        table = self.catalog.tables[name]
+        target, count = table.stage(df)
+        fut: Future = Future()
+        fut.set_result((target, count))
+        self.futures[name] = fut
+        return table.read_dir(self.spark, target)
+
+    def wait(self) -> dict[str, tuple[str, int]]:
+        return {name: f.result() for name, f in self.futures.items()}
 
 
 class CrawlRun:
@@ -44,6 +78,12 @@ class CrawlRun:
         self.config = config
         self.catalog = Catalog(state_dir)
         bloom = BloomSidecar(os.path.join(state_dir, "_bloom"), n_buckets=bloom_buckets) if use_bloom else None
+        # documents stays a plain parquet read: file-size stats keep
+        # Catalyst from ever broadcasting it, and the fetch join streams it
+        # via the broadcast semi-join reduction in fetch_and_branch (the
+        # batch side broadcasts; the web-scale side never shuffles).
+        # The closure is checkpointed because rebuilding the iterative
+        # pointer-doubling plan on every scan would re-run its whole loop.
         closure = build_redirect_closure(redirects, config.max_redirects).localCheckpoint()
         self.ctx = RoundContext(
             spark=spark,
@@ -101,10 +141,12 @@ class CrawlRun:
             self.ctx.bloom.merge_hashes([], -1)  # empty baseline manifest
 
     def _commit_run_row(self, round_: int, pending: int) -> None:
-        row = self.spark.createDataFrame(
-            [(self.run_id, round_, "running", self.stored_total, pending, self.next_seq)], RUNS
+        # driver-local pyarrow write — a one-row bookkeeping append should
+        # not cost a Spark job
+        self.catalog.runs.append_local(
+            [(self.run_id, round_, "running", self.stored_total, pending, self.next_seq)],
+            round_,
         )
-        self.catalog.runs.append(row, round_)
 
     # -- resume (north_rule) -------------------------------------------------
     def resume(self) -> int:
@@ -139,39 +181,47 @@ class CrawlRun:
         return ran
 
     def run_one_round(self) -> bool:
+        import time
+
         spark, cat, round_ = self.spark, self.catalog, self.round
+        timings: dict | None = {} if os.environ.get("SPARK_GRAFT_TIMING") else None
         frontier = cat.frontier.read(spark)
         scheduled = cat.scheduled.read(spark)
         url_seen = cat.url_seen.read(spark)
 
-        res = run_round(
-            self.ctx, frontier, scheduled, url_seen, round_, self.next_seq, self.stored_total
-        )
-        if res is None:
-            return False
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            stager = _Stager(spark, cat, pool)
+            res = run_round(
+                self.ctx, frontier, scheduled, url_seen, round_,
+                self.next_seq, self.stored_total, stager=stager, timings=timings,
+            )
+            if res is None:
+                return False
+            t0 = time.time()
+            staged = stager.wait()
 
-        # commits — runs row last (the checkpoint barrier); row counts come
-        # from the written parquet footers, so no plan re-executes
+        # every append is already on disk; commit the manifests at the
+        # round barrier — cheap file renames, runs row last (the barrier)
         counts = {
-            "admitted": cat.scheduled.append(res.scheduled_append, round_),
-            "new_frontier": cat.frontier.append(res.frontier_append, round_),
-            "seen_new": cat.url_seen.append(res.url_seen_append, round_),
-            "stored": cat.crawled_docs.append(res.crawled_append, round_),
-            "errors": cat.errors.append(res.errors_append, round_),
+            "admitted": staged["scheduled"][1],
+            "new_frontier": staged["frontier"][1],
+            "seen_new": staged["url_seen"][1],
+            "stored": staged["crawled_docs"][1],
+            "errors": staged["errors"][1],
         }
-        metric_rows = [(round_, k, float(v)) for k, v in counts.items()]
-        cat.metrics.append(spark.createDataFrame(metric_rows, METRICS), round_)
+        for name in ("scheduled", "frontier", "url_seen", "crawled_docs", "errors"):
+            cat.tables[name].commit_staged(staged[name][0], round_)
+        cat.metrics.append_local([(round_, k, float(v)) for k, v in counts.items()], round_)
         if self.ctx.bloom is not None:
-            import numpy as np
-
-            tbl = cat.url_seen.read_snapshot_column(column="url_hash")
-            hashes = tbl["url_hash"].to_numpy() if tbl is not None else np.array([], dtype=np.int64)
-            self.ctx.bloom.merge_hashes(np.asarray(hashes, dtype=np.int64), round_)
+            self.ctx.bloom.merge_dir(staged["url_seen"][0], round_)
 
         self.stored_total += counts["stored"]
         self.next_seq += counts["new_frontier"]
         self._commit_run_row(round_, -1)
         self.round += 1
+        if timings is not None:
+            timings["commit"] = round(time.time() - t0, 2)
+            self.timings = timings
         return True
 
     def lineage_report(self) -> dict:

@@ -51,10 +51,15 @@ _COLS = [
 ]
 
 
-def make_decide(config, directions, form_instructions):
+def make_decide(config, directions, form_instructions, branch_acc=None):
     """mapInPandas over fetch-join rows
     (rank, scheduled_url, current_url, hops, final, visited, aborted,
-    too_big, spans?) → full per-row disposition."""
+    too_big, spans?) → full per-row disposition.
+
+    branch_acc: optional Spark accumulator bumped once per row whose
+    decision re-enters the hop loop (direction/meta/form) — lets the
+    driver's loop-exit test ride the checkpoint job instead of running a
+    separate count."""
     url_patterns = list(config.url_include_patterns)
     domain_patterns = list(config.domain_include_patterns)
     max_hops = config.max_interaction_hops
@@ -158,6 +163,10 @@ def make_decide(config, directions, form_instructions):
                 out.append((row.rank, row.scheduled_url, final, decision, next_url,
                             row.hops, visited, spans if decision == "store_pass" else None,
                             links, errors))
+            if branch_acc is not None:
+                n_branch = sum(1 for r in out if r[3] in ("direction", "meta", "form"))
+                if n_branch:
+                    branch_acc.add(n_branch)
             yield pd.DataFrame(out, columns=_COLS)
 
     return decide

@@ -117,7 +117,11 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
     Each hop is ONE materialization: fetch joins (closure + documents,
     both JVM-side) feed the single decide mapInPandas stage, whose output
     carries the complete per-row disposition including failures, store
-    include-filtering, and resolved link candidates.
+    include-filtering, and resolved link candidates. Whether any row
+    branched (needs another hop) comes back through an accumulator the
+    decide stage bumps — the hop's checkpoint job already ran the UDF, so
+    the loop-exit test costs zero extra jobs. (Task retries may overcount;
+    the test is only `> 0`, and zero can't be overcounted.)
 
     gate_urls: one-column (url) round-start gate set for the meta-refresh
     checkNotDone (src/Crawl.hs:134-140) = url_seen ∪ pending ∪ admitted.
@@ -125,7 +129,8 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
     Returns the list of per-hop decision DataFrames (all localCheckpointed).
     """
     cfg = ctx.config
-    decide = make_decide(cfg, ctx.directions, ctx.form_instructions)
+    branch_acc = ctx.spark.sparkContext.accumulator(0)
+    decide = make_decide(cfg, ctx.directions, ctx.form_instructions, branch_acc)
     state = admitted.select(
         F.col("url").alias("scheduled_url"),
         "rank",
@@ -140,16 +145,35 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
     )
     decision_parts = []
 
+    # Broadcast semi-join reduction: the web-scale sides (closure,
+    # documents-with-spans) are first cut down to the rows this batch can
+    # touch by probing them with the BROADCAST batch keys — one streamed
+    # scan each, zero shuffle and zero broadcast of the big tables. The
+    # outer joins that must preserve unmatched batch rows (fetch failure =
+    # no document) then run between batch-sized inputs only. A plain
+    # state⟕documents left join cannot get this shape: the preserved side
+    # is the small one, and a broadcast hash join can never preserve its
+    # build side — so Catalyst either shuffles the full span payload per
+    # hop (sort-merge) or, with post-checkpoint unknown stats, broadcasts
+    # the whole web.
     for _hop in range(cfg.max_interaction_hops + 1):
-        fetched = (
-            state.join(closure, "current_url", "left")
+        closure_rel = closure.join(
+            F.broadcast(state.select("current_url")), "current_url", "left_semi"
+        )
+        swf = (
+            state.join(closure_rel, "current_url", "left")
             .withColumn("final", F.coalesce(F.col("_closure_final"), F.col("current_url")))
             .withColumn(
                 "visited", F.coalesce(F.col("_closure_visited"), F.array(F.col("current_url")))
             )
             .withColumn("aborted", F.coalesce(F.col("_closure_aborted"), F.lit(False)))
             .drop("_closure_final", "_closure_visited", "_closure_aborted")
-            .join(ctx.documents.withColumnRenamed("doc_id", "final"), "final", "left")
+        )
+        docs_rel = ctx.documents.withColumnRenamed("doc_id", "final").join(
+            F.broadcast(swf.select("final")), "final", "left_semi"
+        )
+        fetched = (
+            swf.join(docs_rel, "final", "left")
             .withColumn(
                 "too_big",
                 F.coalesce(
@@ -157,13 +181,10 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
                 ),
             )
         )
+        acc_before = branch_acc.value
         decisions = fetched.mapInPandas(decide, DECISION_SCHEMA).localCheckpoint()
         decision_parts.append(decisions)
-
-        n_branch = decisions.where(
-            "decision in ('direction', 'form', 'meta')"
-        ).limit(1).count()
-        if n_branch == 0:
+        if branch_acc.value == acc_before:
             break
         # meta-refresh gate: target already seen/pending/admitted ⇒ the row
         # is dropped entirely — nothing stored (src/Crawl.hs:138-140)
@@ -290,13 +311,47 @@ def run_round(
     round_: int,
     next_seq: int,
     stored_total: int,
+    stager=None,
+    timings: dict | None = None,
 ) -> RoundResult | None:
-    """Execute round `round_`; returns None when the frontier is drained."""
+    """Execute round `round_`; returns None when the frontier is drained.
+
+    stager (driver._Stager): when given, each output table's append
+    DataFrame is written straight to its staged snapshot dir — the write
+    IS the round's materialization point (replacing localCheckpoint +
+    append writing the same rows twice), and tables with no downstream
+    consumers in this round (scheduled/crawled/errors) stage from
+    concurrent driver threads while the dependent chain
+    (url_seen → frontier) continues on this one.
+    """
+    import time as _time
+
     cfg = ctx.config
+    t0 = _time.time()
+
+    def _lap(name):
+        nonlocal t0
+        if timings is not None:
+            timings[name] = round(_time.time() - t0, 2)
+            t0 = _time.time()
+
+    def _mat(name: str, df: DataFrame) -> DataFrame:
+        """Materialize an append DF: staged table write when available."""
+        return df.localCheckpoint() if stager is None else stager.materialize(name, df)
+
+    def _submit(name: str, df: DataFrame) -> None:
+        if stager is not None:
+            stager.submit(name, df)
+
     pending = pending_frontier(frontier, scheduled).localCheckpoint()
     admitted = schedule(pending, ctx).localCheckpoint()
     if admitted.isEmpty():
         return None
+    scheduled_append = admitted.select(
+        "seq", "url_hash", "url", F.lit(round_).alias("round"), "rank"
+    )
+    _submit("scheduled", scheduled_append)
+    _lap("schedule")
 
     # no distinct: the gate is only ever the right side of an anti-join,
     # where duplicates are harmless — saves a 10^10-scale aggregate
@@ -305,6 +360,7 @@ def run_round(
     decisions = decision_parts[0]
     for d in decision_parts[1:]:
         decisions = decisions.unionByName(d)
+    _lap("fetch_branch")
 
     # store_pass rows carry spans + resolved links; chain head = final URL
     passed = decisions.where("decision = 'store_pass'").withColumn(
@@ -339,8 +395,6 @@ def run_round(
             F.lit(round_).alias("round"),
         )
     )
-    url_seen_append = completed_append.unionByName(failed_new).localCheckpoint()
-
     # F4: quota gates only the store (src/Crawl.hs:178-183); deterministic
     # cutoff by global fetch rank instead of the reference's racy counter
     if cfg.crawl_limit is not None:
@@ -358,6 +412,10 @@ def run_round(
         F.lit(round_).alias("round"),
         F.col("rank").cast("int").alias("rank_in_round"),
     )
+    _submit("crawled_docs", crawled_append)
+
+    url_seen_append = _mat("url_seen", completed_append.unionByName(failed_new))
+    _lap("url_seen")
 
     # H2/U6: link candidates were resolved inside the decide stage
     links = passed.select("rank", "final_url", F.explode("links").alias("l")).select(
@@ -397,12 +455,10 @@ def run_round(
         next_seq,
         seen_delta_urls=url_seen_append.select("url"),
     )
-    frontier_append = frontier_append.localCheckpoint()
-
     errors_append = decision_errors.unionByName(link_errors).unionByName(host_null_errors)
-    scheduled_append = admitted.select(
-        "seq", "url_hash", "url", F.lit(round_).alias("round"), "rank"
-    )
+    _submit("errors", errors_append)
+    frontier_append = _mat("frontier", frontier_append)
+    _lap("frontier")
     return RoundResult(
         admitted=admitted,
         scheduled_append=scheduled_append,

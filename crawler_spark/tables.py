@@ -93,10 +93,50 @@ class SnapshotTable:
     def append(self, df: DataFrame, round_: int) -> int:
         """Append a snapshot; returns the appended row count (read from
         the written parquet footers — no plan re-execution)."""
+        target, count = self.stage(df)
+        self.commit_staged(target, round_)
+        return count
+
+    # -- staged (two-phase) appends ------------------------------------------
+    # Splitting data-write from manifest-commit lets the driver (a) use the
+    # written snapshot dir itself as the round's materialization point —
+    # one Spark job instead of localCheckpoint + append writing the same
+    # rows twice — and (b) stage independent tables from concurrent driver
+    # threads, committing all manifests (cheap file renames) at the round
+    # barrier with the runs row last. A crash mid-staging leaves orphan
+    # data dirs no manifest references — exactly the append crash story.
+    def stage(self, df: DataFrame) -> tuple[str, int]:
+        """Write the snapshot data dir without committing it."""
         target = self._write_snapshot(df)
+        return target, _dir_row_count(target)
+
+    def commit_staged(self, target: str, round_: int) -> None:
         prev = self._manifest(self._current_version())["dirs"]
         self._commit(prev + [target], round_)
-        return _dir_row_count(target)
+
+    def read_dir(self, spark: SparkSession, target: str) -> DataFrame:
+        """Read one staged/committed snapshot dir with the table schema."""
+        return spark.read.schema(self.schema).parquet(target)
+
+    def append_local(self, rows: list[tuple], round_: int) -> int:
+        """Driver-local append for tiny bookkeeping tables (metrics, runs):
+        a pyarrow write, no Spark job at all. Readable by the normal
+        `read()` path because the schema is identical."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import DoubleType, IntegerType, LongType, StringType
+
+        _PA = {StringType: pa.string(), IntegerType: pa.int32(), LongType: pa.int64(), DoubleType: pa.float64()}
+        fields = [pa.field(f.name, _PA[type(f.dataType)]) for f in self.schema.fields]
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        table = pa.table(
+            {f.name: pa.array(list(c), type=f.type) for f, c in zip(fields, cols)}
+        )
+        target = os.path.join(self.path, "data", f"s-{uuid.uuid4().hex[:12]}")
+        os.makedirs(target)
+        pq.write_table(table, os.path.join(target, "part-00000.parquet"))
+        self.commit_staged(target, round_)
+        return len(rows)
 
     def overwrite(self, df: DataFrame, round_: int) -> int:
         target = self._write_snapshot(df)
