@@ -168,6 +168,28 @@ def select_form(final_url: str, spans, instructions) -> tuple[str | None, str | 
     return None, None, errors
 
 
+def doc_cookies(spans) -> list[str]:
+    """Response cookies of a fetched doc: 'set_cookie' span texts in offset
+    order (the fetch-sim analog of Set-Cookie headers; Crawl.hs:164-167
+    shares every response cookie — shareCookie = const True)."""
+    return [
+        _get(s, "text")
+        for s in sorted_spans(spans)
+        if _get(s, "kind") == "set_cookie" and _get(s, "text")
+    ]
+
+
+def required_cookie(spans) -> str | None:
+    """Login gate of a doc: first 'require_cookie' span's text, or None.
+    A gated doc fetched without that cookie in the session jar behaves as
+    an auth failure (the fetch-sim analog of a 403; the reference would
+    surface it as a failed fetch on its dead urlsFailed path)."""
+    for s in sorted_spans(spans):
+        if _get(s, "kind") == "require_cookie" and _get(s, "text"):
+            return _get(s, "text")
+    return None
+
+
 def robots_allowed(url: str, host: str, allow_prefixes, disallow_prefixes) -> bool:
     """Longest-prefix-match over the path(+query): longest matching rule
     wins; tie ⇒ allow; no match ⇒ allow."""

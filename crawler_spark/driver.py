@@ -25,6 +25,7 @@ from crawler_spark.config import CrawlConfig
 from crawler_spark.plans.closure import build_redirect_closure
 from crawler_spark.plans.round import RoundContext, _err, admit_candidates, run_round
 from crawler_spark.tables import Catalog
+from crawler_spark.tables import dir_column as _dir_column
 
 
 class _Stager:
@@ -100,6 +101,7 @@ class CrawlRun:
         self.round = 0
         self.next_seq = 0
         self.stored_total = 0
+        self.timings: dict = {}
 
     # -- seeding (S1/S2: src/Initialisation.hs:97-119, input order) ----------
     def seed(self, seed_urls: list[str]) -> None:
@@ -161,6 +163,8 @@ class CrawlRun:
             self.round = last[0]["round"] + 1
             self.next_seq = last[0]["next_seq"]
             self.stored_total = last[0]["stored_total"]
+        jar = [r_["cookie"] for r_ in self.catalog.session_state.read(self.spark).select("cookie").collect()]
+        self.ctx.cookie_jar = frozenset(jar)
         return r
 
     # -- the loop ------------------------------------------------------------
@@ -208,12 +212,19 @@ class CrawlRun:
             "seen_new": staged["url_seen"][1],
             "stored": staged["crawled_docs"][1],
             "errors": staged["errors"][1],
+            "new_cookies": staged["session_state"][1],
         }
-        for name in ("scheduled", "frontier", "url_seen", "crawled_docs", "errors"):
+        for name in ("scheduled", "frontier", "url_seen", "crawled_docs", "errors", "session_state"):
             cat.tables[name].commit_staged(staged[name][0], round_)
         cat.metrics.append_local([(round_, k, float(v)) for k, v in counts.items()], round_)
         if self.ctx.bloom is not None:
             self.ctx.bloom.merge_dir(staged["url_seen"][0], round_)
+        if counts["new_cookies"]:
+            # jar for the NEXT round grows by this round's committed diff
+            # (driver-local footer read — the delta dir is tiny)
+            self.ctx.cookie_jar = self.ctx.cookie_jar | frozenset(
+                _dir_column(staged["session_state"][0], "cookie")
+            )
 
         self.stored_total += counts["stored"]
         self.next_seq += counts["new_frontier"]

@@ -55,10 +55,14 @@ def generate(
     form_rate: float = 0.02,
     direction_rate: float = 0.02,
     private_rate: float = 0.05,
+    cookie_gate_rate: float = 0.03,
     n_redirects: int = 30,
     long_chain: bool = True,
 ) -> dict[str, object]:
     rng = random.Random(seed)
+    # independent stream for session-cookie features so enabling them does
+    # not shift the randomness of the rest of the web
+    rng_cookie = random.Random(seed ^ 0x5EED)
     hosts = [f"host{i}.example.org" for i in range(n_hosts)]
 
     # --- URL universe: hot host gets hot_host_frac of all pages -------------
@@ -205,12 +209,21 @@ def generate(
             submit_url = f"http://{h}/login?{qs}"
             if submit_url not in seen_extra:
                 seen_extra.add(submit_url)
+                # login response sets the host's session cookie (A5)
                 extra_docs.append(
                     {
                         "doc_id": submit_url,
-                        "spans": [_span("text", text="welcome back " + h, offset=0)],
+                        "spans": [
+                            _span("text", text="welcome back " + h, offset=0),
+                            _span("set_cookie", text=f"session-{h}", offset=1),
+                        ],
                     }
                 )
+        # cookie-gated pages: fetchable only once the host's login cookie
+        # is in the session jar (a later round than the form submission)
+        if rng_cookie.random() < cookie_gate_rate:
+            spans.append(_span("require_cookie", text=f"session-{h}", offset=off))
+            off += 1
         docs.append({"doc_id": url, "spans": spans})
     docs.extend(extra_docs)
 

@@ -34,7 +34,8 @@ DECISION_SCHEMA = (
     "decision string, next_url string, hops int, visited array<string>, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
     "links array<struct<url:string,host:string,kind:string,message:string,ord:int>>, "
-    "errors array<struct<kind:string,url:string,message:string>>"
+    "errors array<struct<kind:string,url:string,message:string>>, "
+    "cookies array<string>"
 )
 
 _COLS = [
@@ -48,10 +49,11 @@ _COLS = [
     "spans",
     "links",
     "errors",
+    "cookies",
 ]
 
 
-def make_decide(config, directions, form_instructions, branch_acc=None):
+def make_decide(config, directions, form_instructions, branch_acc=None, cookie_jar=frozenset()):
     """mapInPandas over fetch-join rows
     (rank, scheduled_url, current_url, hops, final, visited, aborted,
     too_big, spans?) → full per-row disposition.
@@ -59,7 +61,11 @@ def make_decide(config, directions, form_instructions, branch_acc=None):
     branch_acc: optional Spark accumulator bumped once per row whose
     decision re-enters the hop loop (direction/meta/form) — lets the
     driver's loop-exit test ride the checkpoint job instead of running a
-    separate count."""
+    separate count.
+
+    cookie_jar: the session jar as of round start (A5, round-boundary
+    semantics — see schema.SESSION_STATE). Gates 'require_cookie' docs and
+    is NOT mutated mid-round."""
     url_patterns = list(config.url_include_patterns)
     domain_patterns = list(config.domain_include_patterns)
     max_hops = config.max_interaction_hops
@@ -96,7 +102,7 @@ def make_decide(config, directions, form_instructions, branch_acc=None):
                          "message": f"Too many redirects from {row.current_url}"}
                     )
                     out.append((row.rank, row.scheduled_url, None, "failed", None,
-                                row.hops, visited, None, None, errors))
+                                row.hops, visited, None, None, errors, None))
                     continue
                 final = row.final
                 if row.spans is None or isinstance(row.spans, float):  # null → None/NaN
@@ -105,7 +111,7 @@ def make_decide(config, directions, form_instructions, branch_acc=None):
                          "message": f"Fetch failed: {final}"}
                     )
                     out.append((row.rank, row.scheduled_url, final, "failed", None,
-                                row.hops, visited, None, None, errors))
+                                row.hops, visited, None, None, errors, None))
                     continue
                 if row.too_big:
                     errors.append(
@@ -113,10 +119,22 @@ def make_decide(config, directions, form_instructions, branch_acc=None):
                          "message": f"Content too large: {final}"}
                     )
                     out.append((row.rank, row.scheduled_url, final, "failed", None,
-                                row.hops, visited, None, None, errors))
+                                row.hops, visited, None, None, errors, None))
                     continue
 
                 spans = list(row.spans)
+                # session gate (A5): cookie-gated doc without its cookie in
+                # the round-start jar = auth failure; spans never parsed
+                req = cl.required_cookie(spans)
+                if req is not None and req not in cookie_jar:
+                    errors.append(
+                        {"kind": "CrawlError", "url": row.scheduled_url,
+                         "message": f"Unauthorized (cookie required): {final}"}
+                    )
+                    out.append((row.rank, row.scheduled_url, final, "failed", None,
+                                row.hops, visited, None, None, errors, None))
+                    continue
+                cookies = cl.doc_cookies(spans) or None
                 decision, next_url = "store", None
                 if row.hops < max_hops:
                     target = cl.find_direction(final, spans, directions)
@@ -162,7 +180,7 @@ def make_decide(config, directions, form_instructions, branch_acc=None):
                         decision = "store_drop"
                 out.append((row.rank, row.scheduled_url, final, decision, next_url,
                             row.hops, visited, spans if decision == "store_pass" else None,
-                            links, errors))
+                            links, errors, cookies))
             if branch_acc is not None:
                 n_branch = sum(1 for r in out if r[3] in ("direction", "meta", "form"))
                 if n_branch:

@@ -46,6 +46,10 @@ class RoundContext:
     directions: list
     form_instructions: list
     bloom: BloomSidecar | None = None
+    # A5 session jar as of the current round's start (driver-maintained,
+    # captured into the decide closure — the broadcast of a config-scale
+    # set, like the reference's TVar [Cookie], src/Types.hs:32)
+    cookie_jar: frozenset = frozenset()
 
 
 @dataclass
@@ -56,6 +60,7 @@ class RoundResult:
     url_seen_append: DataFrame
     crawled_append: DataFrame
     errors_append: DataFrame
+    session_append: DataFrame
 
 
 def _err(df: DataFrame, kind: str, url_col, message_col, round_: int) -> DataFrame:
@@ -130,7 +135,7 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
     """
     cfg = ctx.config
     branch_acc = ctx.spark.sparkContext.accumulator(0)
-    decide = make_decide(cfg, ctx.directions, ctx.form_instructions, branch_acc)
+    decide = make_decide(cfg, ctx.directions, ctx.form_instructions, branch_acc, ctx.cookie_jar)
     state = admitted.select(
         F.col("url").alias("scheduled_url"),
         "rank",
@@ -362,6 +367,18 @@ def run_round(
         decisions = decisions.unionByName(d)
     _lap("fetch_branch")
 
+    # A5/D6: new cookies this round = observed (first setter in
+    # (rank, hop) order wins) minus the jar — responseCookies \\ jar
+    # (src/Crawl.hs:159,164-167), committed at the round boundary
+    session_append = (
+        decisions.select("rank", "hops", "final_url", F.explode("cookies").alias("cookie"))
+        .where(~F.col("cookie").isin(*ctx.cookie_jar) if ctx.cookie_jar else F.lit(True))
+        .groupBy("cookie")
+        .agg(F.min(F.struct("rank", "hops", "final_url")).alias("k"))
+        .select("cookie", F.col("k.final_url").alias("url"), F.lit(round_).alias("round"))
+    )
+    _submit("session_state", session_append)
+
     # store_pass rows carry spans + resolved links; chain head = final URL
     passed = decisions.where("decision = 'store_pass'").withColumn(
         "chain", F.array_distinct(F.reverse(F.col("visited")))
@@ -466,4 +483,5 @@ def run_round(
         url_seen_append=url_seen_append,
         crawled_append=crawled_append,
         errors_append=errors_append,
+        session_append=session_append,
     )

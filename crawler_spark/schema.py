@@ -176,6 +176,18 @@ METRICS = StructType(
     ]
 )
 
+# replaces the global cookie jar (getCookieList, src/Types.hs:32; shared
+# at src/Crawl.hs:164-167). Append-only: a row = a cookie's first setter;
+# the jar at round r = all rows with round < r (round-boundary re-spec of
+# the reference's mid-flight sharing, SURVEY.md §3.4)
+SESSION_STATE = StructType(
+    [
+        StructField("cookie", StringType(), False),
+        StructField("url", StringType(), False),  # first setter (final URL)
+        StructField("round", IntegerType(), False),
+    ]
+)
+
 # run/checkpoint bookkeeping — a committed row here is the round barrier
 RUNS = StructType(
     [
@@ -194,6 +206,7 @@ ALL_TABLES = {
     "url_seen": URL_SEEN,
     "crawled_docs": CRAWLED_DOCS,
     "errors": ERRORS,
+    "session_state": SESSION_STATE,
     "metrics": METRICS,
     "runs": RUNS,
 }

@@ -44,6 +44,7 @@ class SimResult:
     stored: list[dict] = field(default_factory=list)
     errors: list[dict] = field(default_factory=list)
     frontier_remaining: list[dict] = field(default_factory=list)
+    session_state: list[dict] = field(default_factory=list)  # cookie/url/round (A5)
     rounds_run: int = 0
 
 
@@ -68,6 +69,12 @@ class Simulator:
         self.frontier: list[dict] = []  # pending rows
         self.seq = 0
         self.stored_count = 0
+        # A5 cookie jar (getCookieList, Types.hs:32): deterministic
+        # round-boundary re-spec — cookies observed in round r enter the
+        # jar for round r+1 (the reference shares them mid-flight across
+        # racing threads, which is exactly the nondeterminism §3.4 removes)
+        self.jar: set[str] = set()
+        self.round_cookies: list[tuple[str, str]] = []  # (cookie, setter url)
         self.res = SimResult()
 
     # -- helpers --------------------------------------------------------------
@@ -162,6 +169,16 @@ class Simulator:
             if self._doc_size(spans) > self.cfg.max_content_bytes:
                 self._error("CrawlError", scheduled_url, f"Content too large: {final}", round_)
                 return ("failed", visited)
+            # session gate: a cookie-gated doc without its cookie in the
+            # round-start jar is an auth failure; spans never parsed
+            req = cl.required_cookie(spans)
+            if req is not None and req not in self.jar:
+                self._error("CrawlError", scheduled_url, f"Unauthorized (cookie required): {final}", round_)
+                return ("failed", visited)
+            # A5: every successfully fetched doc's cookies are collected
+            # (first setter wins); they enter the jar at the round boundary
+            for c in cl.doc_cookies(spans):
+                self.round_cookies.append((c, final))
             if hops < self.cfg.max_interaction_hops:
                 # branch 1: href direction (Crawl.hs:123-129)
                 direction = cl.find_direction(final, spans, self.directions)
@@ -284,6 +301,14 @@ class Simulator:
             if link in self.completed or link in self.failed:
                 continue
             self._enqueue(link, lhost, round_, pending_urls)
+
+        # D6/A5: new cookies (responseCookies \\ jar) committed for the
+        # next round; first setter in (rank, hop) order wins attribution
+        for cookie, setter in self.round_cookies:
+            if cookie not in self.jar:
+                self.jar.add(cookie)
+                self.res.session_state.append({"cookie": cookie, "url": setter, "round": round_})
+        self.round_cookies = []
 
         for url, state in (
             [(u, "completed") for u in self.completed] + [(u, "failed") for u in self.failed]

@@ -38,6 +38,18 @@ def _dir_row_count(path: str) -> int:
     return total
 
 
+def dir_column(path: str, column: str) -> list:
+    """Driver-local read of one column from a snapshot data dir (for tiny
+    per-round deltas — cookies, hashes — without a Spark collect)."""
+    import pyarrow.parquet as pq
+
+    vals: list = []
+    for f in sorted(os.listdir(path)):
+        if f.endswith(".parquet"):
+            vals.extend(pq.read_table(os.path.join(path, f), columns=[column])[column].to_pylist())
+    return vals
+
+
 class SnapshotTable:
     def __init__(self, root: str, name: str, schema: StructType):
         self.name = name

@@ -160,3 +160,22 @@ HrefRegex=(w)
 """
     out = parse_href_directions(text)
     assert [d.label for d in out] == ["a"]
+
+
+def test_doc_cookies_and_required_cookie():
+    from crawler_spark.crawl_logic import doc_cookies, required_cookie
+
+    spans = [
+        {"kind": "text", "text": "hi", "media_ref": None, "offset": 0},
+        {"kind": "set_cookie", "text": "b", "media_ref": None, "offset": 2},
+        {"kind": "set_cookie", "text": "a", "media_ref": None, "offset": 1},
+        {"kind": "require_cookie", "text": "gate2", "media_ref": None, "offset": 4},
+        {"kind": "require_cookie", "text": "gate1", "media_ref": None, "offset": 3},
+        {"kind": "set_cookie", "text": None, "media_ref": None, "offset": 5},
+    ]
+    # offset order, null-text spans skipped
+    assert doc_cookies(spans) == ["a", "b"]
+    # first require_cookie in offset order wins
+    assert required_cookie(spans) == "gate1"
+    assert required_cookie(spans[:1]) is None
+    assert doc_cookies([]) == []

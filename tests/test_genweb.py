@@ -24,7 +24,7 @@ def test_shapes_and_invariants():
     docs = web["documents"]
     assert docs["doc_id"].is_unique
     # span offsets strictly ordered per doc; every span kind is known
-    kinds = {"text", "link", "media", "form", "meta_refresh"}
+    kinds = {"text", "link", "media", "form", "meta_refresh", "set_cookie", "require_cookie"}
     for rec in docs.to_dict("records"):
         offs = [s["offset"] for s in rec["spans"]]
         assert offs == sorted(offs) == list(range(len(offs)))

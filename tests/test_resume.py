@@ -26,8 +26,9 @@ def _mk_run(spark, tmp_state, web, config):
 
 def test_kill_resume_continuation_identical(spark, tmp_state):
     """Run k rounds, 'crash', resume, finish — trace must equal an
-    uninterrupted run (byte-identical continuation)."""
-    web = generate(n_docs=50, n_hosts=6, seed=21, n_redirects=4)
+    uninterrupted run (byte-identical continuation), including the session
+    cookie jar (A5 state restored from the session_state table)."""
+    web = generate(n_docs=50, n_hosts=6, seed=21, n_redirects=4, form_rate=0.2, cookie_gate_rate=0.2)
     config = CrawlConfig(
         seeds=tuple(web["seeds"]["url"]),
         domain_include_patterns=("example.org",),
@@ -49,14 +50,21 @@ def test_kill_resume_continuation_identical(spark, tmp_state):
     )
     run.catalog.url_seen.append(orphan, 99)
 
+    jar_at_crash = run.ctx.cookie_jar
+
     run2 = _mk_run(spark, tmp_state, web, config)
     resumed = run2.resume()
     assert resumed == 2  # rounds 0..2 committed
     assert run2.round == 3
+    assert run2.ctx.cookie_jar == jar_at_crash  # A5 jar restored
     run2.run(max_rounds=3)
 
     assert run2.fetch_order() == sres.fetch_order
     assert run2.url_seen_state() == sres.url_seen
+    assert sorted(
+        (r["cookie"], r["url"], r["round"])
+        for r in run2.catalog.session_state.read(spark).collect()
+    ) == sorted((r["cookie"], r["url"], r["round"]) for r in sres.session_state)
 
 
 def test_stop_flag_halts_loop(spark, tmp_state):

@@ -78,6 +78,14 @@ def assert_equivalent(spark, sim_res, run):
     )
     assert eng_errors == sim_errors
 
+    # 5. session jar (A5): exact (cookie, first-setter url, round) rows
+    eng_session = sorted(
+        (r["cookie"], r["url"], r["round"])
+        for r in run.catalog.session_state.read(spark).collect()
+    )
+    sim_session = sorted((r["cookie"], r["url"], r["round"]) for r in sim_res.session_state)
+    assert eng_session == sim_session
+
 
 @pytest.mark.parametrize("use_bloom", [True, False])
 def test_basic_crawl_equivalence(spark, tmp_state, use_bloom):
@@ -123,6 +131,43 @@ def test_interaction_branches(spark, tmp_state):
         per_host_budget=4,
     )
     sim, sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=5)
+    assert_equivalent(spark, sim_res, run)
+
+
+def test_session_cookie_gating(spark, tmp_state):
+    """A5/D6: form login sets the host session cookie at a round boundary;
+    cookie-gated pages fail before the cookie lands in the jar and succeed
+    when scheduled after (simulator agrees exactly, incl. session_state)."""
+    web = generate(
+        n_docs=60,
+        n_hosts=3,
+        seed=13,
+        n_redirects=2,
+        form_rate=0.3,
+        cookie_gate_rate=0.25,
+        links_per_doc=8,
+        meta_refresh_rate=0.0,
+        direction_rate=0.0,
+    )
+    gated = {
+        d["doc_id"]
+        for d in web["documents"].to_dict("records")
+        if any(s["kind"] == "require_cookie" for s in d["spans"])
+    }
+    assert gated  # the scenario actually exercises A5
+    config = CrawlConfig(
+        seeds=tuple(web["seeds"]["url"]),
+        domain_include_patterns=("example.org",),
+        per_host_budget=3,
+    )
+    sim, sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=10)
+    assert sim_res.session_state  # at least one login happened
+    assert any(
+        "Unauthorized (cookie required)" in e["message"] for e in sim_res.errors
+    )  # gates fired before the cookie existed...
+    assert any(
+        u in gated and s == "completed" for u, s in sim_res.url_seen.items()
+    )  # ...and gated pages scheduled after login succeeded
     assert_equivalent(spark, sim_res, run)
 
 
