@@ -598,3 +598,54 @@ QUERIES["chain_dedup"] = q_chain_dedup
 QUERIES["cookie_diff"] = q_cookie_diff
 ORACLES["chain_dedup"] = ORACLE_CHAIN_DEDUP
 ORACLES["cookie_diff"] = ORACLE_COOKIE_DIFF
+
+# ---------------------------------------------------------------------------
+# A5: session-cookie collection (src/Crawl.hs:159,164-167) — the round
+# plan's session_append shape (plans/round.py): explode observed cookies,
+# drop ones already in the round-start jar (responseCookies \\ jar), and
+# attribute each new cookie to its first setter by (rank, hop) order.
+# ---------------------------------------------------------------------------
+
+def q_session_collect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ev = o.select(
+        F.col("o_orderkey").alias("rnk"),
+        (F.col("o_orderkey") % 3).cast("int").alias("hops"),
+        F.concat(
+            F.lit("http://h"), (F.col("o_custkey") % 53).cast("string"),
+            F.lit(".example.org/p"), F.col("o_orderkey").cast("string"),
+        ).alias("final_url"),
+        F.array(
+            F.concat(F.lit("session-"), (F.col("o_custkey") % 101).cast("string"))
+        ).alias("cookies"),
+    )
+    jar = [f"session-{i}" for i in range(0, 101, 5)]  # round-start jar
+    return (
+        ev.select("rnk", "hops", "final_url", F.explode("cookies").alias("cookie"))
+        .where(~F.col("cookie").isin(*jar))
+        .groupBy("cookie")
+        .agg(F.min(F.struct("rnk", "hops", "final_url")).alias("k"))
+        .select("cookie", F.col("k.final_url").alias("url"))
+        .orderBy("cookie")
+    )
+
+
+ORACLE_SESSION_COLLECT = """
+    WITH ev AS (
+      SELECT o_orderkey AS rnk,
+             CAST(o_orderkey % 3 AS INT) AS hops,
+             'http://h' || CAST(o_custkey % 53 AS VARCHAR) || '.example.org/p'
+                 || CAST(o_orderkey AS VARCHAR) AS final_url,
+             'session-' || CAST(o_custkey % 101 AS VARCHAR) AS cookie,
+             o_custkey
+      FROM orders
+    )
+    SELECT cookie, final_url AS url FROM (
+      SELECT cookie, final_url,
+             ROW_NUMBER() OVER (PARTITION BY cookie ORDER BY rnk, hops, final_url) AS rn
+      FROM ev WHERE (o_custkey % 101) % 5 <> 0
+    ) WHERE rn = 1 ORDER BY cookie
+"""
+
+QUERIES["session_collect"] = q_session_collect
+ORACLES["session_collect"] = ORACLE_SESSION_COLLECT
