@@ -41,6 +41,12 @@ class CrawlConfig:
     # config; fetch-simulate ignores it, a real HTTP fetch stage passes it
     # to its client — same slot, same semantics
     proxy: str | None = None
+    # priority propagation (engine addition; the reference has a single
+    # FIFO). When True, a discovered link inherits priority = discovering
+    # page's priority + 1 (BFS depth), and the scheduler's (priority, seq)
+    # order fetches shallow pages first within each host's budget. First
+    # discovery fixes a URL's priority. False = all 0 (pure FIFO parity).
+    depth_priority: bool = False
 
     def to_json(self) -> str:
         d = {k: list(v) if isinstance(v, tuple) else v for k, v in self.__dict__.items()}

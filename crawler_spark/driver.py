@@ -129,7 +129,8 @@ class CrawlRun:
             0,
         )
         occurrences = canon.where(F.col("error").isNull()).select(
-            "url", "host", F.lit(0).cast("long").alias("ord_rank"), F.col("pos").alias("ord_sub")
+            "url", "host", F.lit(0).cast("long").alias("ord_rank"), F.col("pos").alias("ord_sub"),
+            F.lit(0).cast("int").alias("prio"),
         )
         empty_urls = spark.createDataFrame([], "url string")
         frontier_append, host_null_errors = admit_candidates(

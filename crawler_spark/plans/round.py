@@ -220,9 +220,11 @@ def admit_candidates(
 ):
     """Shared D1-D3 admission pipeline (also used for seeding, S1/S2).
 
-    occurrences: (url, host, ord_rank, ord_sub) — every extraction
+    occurrences: (url, host, ord_rank, ord_sub, prio) — every extraction
     occurrence, in discovery order (ord_rank = discovering fetch rank,
-    ord_sub = extraction order; seeds use (0, input position)).
+    ord_sub = extraction order; seeds use (0, input position)). prio is
+    the priority the URL receives if this occurrence wins first-discovery
+    (0, or parent depth + 1 under config.depth_priority).
     seen_urls / pending_urls: one-column (url) sets to exclude.
     seen_delta_urls: THIS round's url_seen append — not yet in the bloom
     sidecar (it merges at round commit), so it is anti-joined exactly for
@@ -255,7 +257,7 @@ def admit_candidates(
         flagged = hashed.mapInPandas(
             prefilter,
             "url string, host string, ord_rank bigint, ord_sub bigint, "
-            "url_hash bigint, maybe_seen boolean",
+            "prio int, url_hash bigint, maybe_seen boolean",
         )
         maybe = flagged.where("maybe_seen").join(seen_urls, "url", "left_anti")
         fresh = flagged.where("not maybe_seen")
@@ -290,9 +292,11 @@ def admit_candidates(
 
     not_pending = allowed.join(pending_urls, "url", "left_anti")
     # first-discovery wins (simulator: pending_urls grows as it admits)
+    # (ord_rank, ord_sub) is unique per occurrence, so host/prio in the
+    # struct never decide the min — they just ride along with the winner
     deduped = not_pending.groupBy("url").agg(
-        F.min(F.struct("ord_rank", "ord_sub", "host")).alias("k")
-    ).select("url", F.col("k.ord_rank").alias("ord_rank"), F.col("k.ord_sub").alias("ord_sub"), F.col("k.host").alias("host"))
+        F.min(F.struct("ord_rank", "ord_sub", "host", "prio")).alias("k")
+    ).select("url", F.col("k.ord_rank").alias("ord_rank"), F.col("k.ord_sub").alias("ord_sub"), F.col("k.host").alias("host"), F.col("k.prio").alias("prio"))
 
     ranked = global_rank(deduped, ["ord_rank", "ord_sub"], "_d")
     frontier_append = ranked.select(
@@ -300,7 +304,7 @@ def admit_candidates(
         F.xxhash64("url").alias("url_hash"),
         "host",
         F.xxhash64("host").alias("host_hash"),
-        F.lit(0).alias("priority"),
+        F.col("prio").cast("int").alias("priority"),
         (F.col("_d") + F.lit(next_seq - 1)).alias("seq"),
         F.lit(round_).alias("discovered_round"),
         F.lit("pending").alias("status"),
@@ -459,9 +463,16 @@ def run_round(
         F.lit(round_).alias("round"),
     )
 
-    occurrences = links.where("kind = 'ok'").select(
-        "url", "host", F.col("rank").alias("ord_rank"), "ord_sub"
-    )
+    if cfg.depth_priority:
+        parent = admitted.select("rank", (F.col("priority") + 1).cast("int").alias("prio"))
+        occurrences = links.where("kind = 'ok'").join(parent, "rank").select(
+            "url", "host", F.col("rank").alias("ord_rank"), "ord_sub", "prio"
+        )
+    else:
+        occurrences = links.where("kind = 'ok'").select(
+            "url", "host", F.col("rank").alias("ord_rank"), "ord_sub",
+            F.lit(0).cast("int").alias("prio"),
+        )
     pending_rest = pending.join(admitted.select("seq"), "seq", "left_anti")
     frontier_append, host_null_errors = admit_candidates(
         occurrences,

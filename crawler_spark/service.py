@@ -62,7 +62,8 @@ def add_urls(run: CrawlRun, urls: list[str]) -> int:
         F.col("c.error").alias("error"),
     )
     occ = canon.where(F.col("error").isNull()).select(
-        "url", "host", F.lit(0).cast("long").alias("ord_rank"), F.col("pos").alias("ord_sub")
+        "url", "host", F.lit(0).cast("long").alias("ord_rank"), F.col("pos").alias("ord_sub"),
+        F.lit(0).cast("int").alias("prio"),  # service-added URLs rank as seeds
     )
     seen = run.catalog.url_seen.read(spark).select("url")
     pending = pending_frontier(

@@ -98,7 +98,7 @@ class Simulator:
                 delay = None
         return cl.host_budget(self.cfg.per_host_budget, delay)
 
-    def _enqueue(self, url: str, host: str | None, round_: int, pending_urls: set[str]) -> bool:
+    def _enqueue(self, url: str, host: str | None, round_: int, pending_urls: set[str], prio: int = 0) -> bool:
         """D3/D2 pipeline: include-filter → robots → checkNotDone → insert."""
         if not cl.include_match(url, host, self.url_patterns, self.domain_patterns):
             return False  # result ignored silently (Crawl.hs:162 mapM_)
@@ -111,7 +111,7 @@ class Simulator:
         if url in self.completed or url in self.failed or url in pending_urls:
             return False
         self.frontier.append(
-            {"url": url, "host": host, "priority": 0, "seq": self.seq, "discovered_round": round_}
+            {"url": url, "host": host, "priority": prio, "seq": self.seq, "discovered_round": round_}
         )
         pending_urls.add(url)
         self.seq += 1
@@ -249,7 +249,7 @@ class Simulator:
         # END of the round (batch semantics): dedup against end-of-round
         # url_seen + remaining pending, first discovery wins, ordered by
         # (discovering rank, extraction order)
-        candidates: list[tuple[str, str | None]] = []
+        candidates: list[tuple[str, str | None, int]] = []
 
         for rank, row in enumerate(admitted, start=1):
             url = row["url"]
@@ -285,7 +285,10 @@ class Simulator:
                     }
                 )
                 self.stored_count += 1
-            # link extraction (H2/U6), extraction order; admission deferred
+            # link extraction (H2/U6), extraction order; admission deferred.
+            # Under depth_priority a link inherits the discovering page's
+            # priority + 1 (BFS depth; first discovery fixes it)
+            prio = (row["priority"] + 1) if self.cfg.depth_priority else 0
             for raw in cl.extract_raw_links(spans):
                 link, lhost, kind, msg = resolve(final, raw)
                 if kind == "warning":
@@ -294,13 +297,13 @@ class Simulator:
                 if kind == "error":
                     self._error("CrawlError", final, msg, round_)
                     continue
-                candidates.append((link, lhost))
+                candidates.append((link, lhost, prio))
 
         # end-of-round admission (D1-D3 as one batch)
-        for link, lhost in candidates:
+        for link, lhost, prio in candidates:
             if link in self.completed or link in self.failed:
                 continue
-            self._enqueue(link, lhost, round_, pending_urls)
+            self._enqueue(link, lhost, round_, pending_urls, prio)
 
         # D6/A5: new cookies (responseCookies \\ jar) committed for the
         # next round; first setter in (rank, hop) order wins attribution

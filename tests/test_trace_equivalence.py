@@ -171,6 +171,37 @@ def test_session_cookie_gating(spark, tmp_state):
     assert_equivalent(spark, sim_res, run)
 
 
+def test_depth_priority_propagation(spark, tmp_state):
+    """Links inherit BFS depth as scheduling priority: shallow pages fetch
+    first within each host budget; first discovery fixes a URL's priority.
+    Engine window order and simulator order must agree exactly."""
+    web = generate(n_docs=80, n_hosts=6, seed=17, n_redirects=5)
+    config = CrawlConfig(
+        seeds=tuple(web["seeds"]["url"]),
+        domain_include_patterns=("example.org",),
+        per_host_budget=2,
+        depth_priority=True,
+    )
+    sim, sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=7)
+    assert len(sim_res.fetch_order) > 10
+    # the flag actually changed the schedule vs pure FIFO
+    sim_fifo = Simulator(
+        web,
+        CrawlConfig(
+            seeds=config.seeds,
+            domain_include_patterns=config.domain_include_patterns,
+            per_host_budget=2,
+        ),
+    )
+    sim_fifo.seed(list(config.seeds))
+    fifo_res = sim_fifo.run(max_rounds=7)
+    assert fifo_res.fetch_order != sim_res.fetch_order
+    # frontier carries real depths
+    depths = {r["priority"] for r in run.catalog.frontier.read(spark).collect()}
+    assert max(depths) >= 2
+    assert_equivalent(spark, sim_res, run)
+
+
 def test_url_include_patterns_and_no_robots(spark, tmp_state):
     web = generate(n_docs=40, n_hosts=6, seed=5, n_redirects=5, private_rate=0.2)
     config = CrawlConfig(
