@@ -1,0 +1,150 @@
+"""Structured Streaming frontier ingestion (S13 `/addUrl` at scale).
+
+The batch engine deliberately runs the crawl itself as deterministic
+rounds (SURVEY.md §3.4) — but *candidate arrival* is naturally a stream:
+operator-submitted seeds, sitemap pings, out-of-band discoveries. This
+module ingests a URL stream into the frontier between rounds with exactly
+the round plan's admission semantics (canonicalize → include/robots →
+url_seen/pending dedup → FIFO seq), one micro-batch at a time.
+
+Design (idiomatic Structured Streaming, scale posture):
+- `readStream.text` file source (swap for Kafka in production — the
+  transformations are source-agnostic).
+- Two dedup layers, mirroring D1's two layers:
+  1. WITHIN-STREAM first-occurrence dedup via `applyInPandasWithState`
+     keyed by `pmod(xxhash64(url), K)` — K-way parallel state, each group
+     holding its bucket's seen-hash set (the streaming analog of the
+     bloom-bucketed seen filter; GroupState is Spark-checkpointed).
+     A fixed K keeps state shards bounded and colocated — the same
+     bucketing discipline as the url_seen table.
+  2. AGAINST-TABLES dedup inside `foreachBatch`: each micro-batch runs
+     the engine's `admit_candidates` (the very same function the round
+     plan uses) against committed url_seen + pending frontier, then
+     appends a frontier snapshot — so a crawl round can interleave with a
+     live stream at any commit boundary.
+- `foreachBatch` is the right sink because admission must join against
+  the engine's snapshot tables and assign monotone seqs — per-batch
+  batch-DataFrame semantics, atomically committed per micro-batch.
+
+Replaces/extends: src/Service.hs:65-74 (POST /addUrl → canonicalise →
+processNextUrl) and src/Initialisation.hs:97-119 (seed ingestion).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from crawler_spark.driver import CrawlRun
+from crawler_spark.plans.round import admit_candidates, pending_frontier
+
+_DEDUP_SCHEMA = "url string, url_hash bigint, arrival long"
+_STATE_SCHEMA = "seen array<bigint>"
+
+
+def _dedup_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """First occurrence per url_hash within this bucket's stream history.
+
+    State = the bucket's sorted seen-hash list. Exactness note: like D1,
+    hash equality stands in for URL equality at stream speed; the
+    foreachBatch admission re-checks exactly against the tables, so a
+    (2^-64-rare) collision can only delay a URL, never corrupt state.
+    """
+    seen = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        fresh = pdf[~pdf["url_hash"].isin(seen)]
+        first = fresh.drop_duplicates(subset=["url_hash"], keep="first")
+        if len(first):
+            seen.update(first["url_hash"].tolist())
+            yield first[["url", "url_hash", "arrival"]]
+    state.update((sorted(seen),))
+
+
+def dedup_stream(candidates: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """Stateful streaming dedup: emit each distinct URL once across the
+    whole stream lifetime, K-way parallel by hash bucket."""
+    hashed = candidates.withColumn("url_hash", F.xxhash64("url")).withColumn(
+        "bucket", F.pmod("url_hash", F.lit(n_buckets))
+    )
+    return (
+        hashed.groupBy("bucket")
+        .applyInPandasWithState(
+            _dedup_group,
+            outputStructType=_DEDUP_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+class StreamingIngest:
+    """Wires a URL text stream into a CrawlRun's frontier."""
+
+    def __init__(self, run: CrawlRun, n_buckets: int = 32):
+        self.run = run
+        self.n_buckets = n_buckets
+        self.batches: list[int] = []  # admitted count per micro-batch
+
+    def _admit_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        run = self.run
+        spark = run.spark
+        from crawler_spark.functions.urls import register_udfs
+
+        canonicalize_urls, _ = register_udfs()
+        canon = (
+            batch_df.withColumn("c", canonicalize_urls(F.trim(F.col("url"))))
+            .select(
+                F.col("c.url").alias("url"),
+                F.col("c.host").alias("host"),
+                F.col("c.error").alias("error"),
+                "arrival",
+            )
+            .where(F.col("error").isNull())
+        )
+        occ = canon.select(
+            "url",
+            "host",
+            F.lit(0).cast("long").alias("ord_rank"),
+            F.col("arrival").alias("ord_sub"),  # arrival order within batch
+            F.lit(0).cast("int").alias("prio"),
+        )
+        seen = run.catalog.url_seen.read(spark).select("url")
+        pending = pending_frontier(
+            run.catalog.frontier.read(spark), run.catalog.scheduled.read(spark)
+        ).select("url")
+        fa, _errs = admit_candidates(occ, seen, pending, run.ctx, run.round, run.next_seq)
+        n = run.catalog.frontier.append(fa, run.round - 1)
+        run.next_seq += n
+        self.batches.append(n)
+
+    def start(self, input_dir: str, checkpoint_dir: str, available_now: bool = True):
+        """Consume `input_dir` text files (one URL per line). With
+        available_now=True the query drains existing files and stops —
+        the deterministic test/drive mode; False = continuous."""
+        spark = self.run.spark
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "4")
+            .load(input_dir)
+            # a stream has no meaningful within-batch arrival order (files
+            # race); a deterministic hash makes the per-batch FIFO seq
+            # assignment reproducible across retries
+            .select(
+                F.col("value").alias("url"),
+                F.xxhash64("value").alias("arrival"),
+            )
+        )
+        deduped = dedup_stream(raw, self.n_buckets).drop("url_hash")
+        writer = (
+            deduped.writeStream.foreachBatch(self._admit_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
