@@ -686,3 +686,112 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
 # no ORACLES entry: approximate by construction (driver records rows-only)
+
+# ---------------------------------------------------------------------------
+# ANN IVF (inverted-file) variant — the second scale path next to LSH.
+# Coarse quantizer: the 16 lowest vec_ids serve as deterministic centroids
+# (no iterative training, so the DuckDB oracle can reproduce the index
+# bit-exactly). Every corpus vector is assigned to its best-cosine cell
+# (O(N*K) map-side, broadcast centroids, no shuffle of the corpus);
+# a query probes its nprobe=4 best cells and brute-forces only their
+# members (~nprobe/K of the corpus). All ranking on floor(cos*1e6) with id
+# tie-breaks, so Spark double arithmetic and DuckDB agree exactly.
+# ---------------------------------------------------------------------------
+
+ANN_IVF_CELLS = 16
+ANN_IVF_NPROBE = 4
+
+
+def _cos_micro(a: str, b: str) -> str:
+    return (
+        f"floor(1000000 * aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / "
+        f"(sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * "
+        f"sqrt(aggregate(transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))))"
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < ANN_IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("vc")
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb"))
+    asg_scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", F.expr(_cos_micro("vb", "vc")).cast("long")
+    )
+    w_asg = Window.partitionBy("neighbor_id").orderBy(F.desc("sim"), F.asc("cell"))
+    assigned = (
+        asg_scored.withColumn("r", F.row_number().over(w_asg))
+        .where("r = 1")
+        .select("neighbor_id", "vb", "cell")
+    )
+    queries = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", F.expr(_cos_micro("va", "vc")).cast("long")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+    probes = (
+        probe_scored.withColumn("r", F.row_number().over(w_probe))
+        .where(F.col("r") <= ANN_IVF_NPROBE)
+        .select("query_id", "va", "cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_micro", F.expr(_cos_micro("va", "vb")).cast("long"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_top))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_ANN_IVF_TOPK = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cell, v AS vc FROM e WHERE vec_id < 16),
+    asg AS (
+      SELECT neighbor_id, vb, cell FROM (
+        SELECT e.vec_id AS neighbor_id, e.v AS vb, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 floor(1000000 * list_dot_product(e.v, c.vc) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.vc, c.vc)))) DESC,
+                 c.cell ASC) AS rn
+        FROM e, c)
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 8),
+    probes AS (
+      SELECT query_id, vq, cell FROM (
+        SELECT q.query_id, q.vq, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 floor(1000000 * list_dot_product(q.vq, c.vc) /
+                   (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(c.vc, c.vc)))) DESC,
+                 c.cell ASC) AS rn
+        FROM q, c)
+      WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.neighbor_id,
+             CAST(floor(1000000 * list_dot_product(p.vq, a.vb) /
+               (sqrt(list_dot_product(p.vq, p.vq)) * sqrt(list_dot_product(a.vb, a.vb)))) AS BIGINT)
+               AS cos_micro
+      FROM probes p JOIN asg a USING (cell)
+      WHERE a.neighbor_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id ASC) AS rank
+      FROM cand)
+    WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
+ORACLES["ann_ivf_topk"] = ORACLE_ANN_IVF_TOPK

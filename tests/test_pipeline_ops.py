@@ -24,6 +24,26 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert hits / total >= 0.5  # 4-bit SRP buckets keep ≥ half the true top-5
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe/cells = 1/4 of the corpus scanned must keep a
+    useful fraction of the true top-5 (near-random embeddings make this a
+    hard case; the oracle gate already checks exact agreement with the
+    index definition — this checks the index is WORTH probing)."""
+    from crawler_spark.queries.pipeline_ops import q_ann_cosine_topk, q_ann_ivf_topk
+
+    exact = q_ann_cosine_topk(spark, SF).collect()
+    approx = q_ann_ivf_topk(spark, SF).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    assert hits / total >= 0.3
+
+
 def test_minhash_lsh_catches_planted_near_dups(spark):
     """Plant near-duplicate texts; LSH candidate pairs must include them."""
     import pandas as pd
