@@ -51,3 +51,33 @@ def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             for idx in range(0, n_frames, 10):
                 rows.append((doc_id, idx, (n * 31 + idx * 7) % 997))
         yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "feature_hash"])
+
+
+def resize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize stub: scale fake dims to fit a 256x256 box (integer math so
+    the DuckDB oracle reproduces it bit-exactly), plus a deterministic
+    content hash of the "resized" payload. Real path: PIL thumbnail."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n, in_w, in_h, _ = _fake_decode(bytes(payload))
+            big = max(in_w, in_h, 1)
+            out_w = max(1, (in_w * 256) // big)
+            out_h = max(1, (in_h * 256) // big)
+            rows.append((doc_id, out_w, out_h, (n * 131 + out_w * 17 + out_h * 13) % 100000))
+        yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "resized_hash"])
+
+
+FEATURE_DIM = 8
+
+
+def extract_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature-extraction stub: a FEATURE_DIM-dim vector deterministic in
+    the payload bytes, emitted as milli-unit ints (a real extractor emits
+    floats; ints keep the oracle value-hash comparison bit-exact)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(bytes(payload))
+            rows.append((doc_id, [(n * 31 + i * 17) % 1000 for i in range(FEATURE_DIM)]))
+        yield pd.DataFrame(rows, columns=["doc_id", "feature_milli"])

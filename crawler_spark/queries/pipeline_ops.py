@@ -795,3 +795,57 @@ ORACLE_ANN_IVF_TOPK = """
 
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
 ORACLES["ann_ivf_topk"] = ORACLE_ANN_IVF_TOPK
+
+def q_media_resize(spark, sf_dir):
+    from crawler_spark.functions.media import resize_media_batch
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        resize_media_batch, "doc_id bigint, out_w int, out_h int, resized_hash int"
+    ).orderBy("doc_id")
+
+
+ORACLE_MEDIA_RESIZE = """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             octet_length(encode(text)) % 1024 AS in_w,
+             (octet_length(encode(text)) * 7) % 768 AS in_h
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n, in_w, in_h, greatest(in_w, in_h, 1) AS big FROM m
+    )
+    SELECT doc_id,
+           CAST(greatest(1, (in_w * 256) // big) AS INT) AS out_w,
+           CAST(greatest(1, (in_h * 256) // big) AS INT) AS out_h,
+           CAST((n * 131 + greatest(1, (in_w * 256) // big) * 17
+                 + greatest(1, (in_h * 256) // big) * 13) % 100000 AS INT) AS resized_hash
+    FROM r ORDER BY doc_id
+"""
+
+
+def q_media_features(spark, sf_dir):
+    from crawler_spark.functions.media import extract_features_batch
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        extract_features_batch, "doc_id bigint, feature_milli array<int>"
+    ).orderBy("doc_id")
+
+
+ORACLE_MEDIA_FEATURES = """
+    SELECT doc_id,
+           list_transform([0,1,2,3,4,5,6,7],
+             i -> CAST((octet_length(encode(text)) * 31 + i * 17) % 1000 AS INT))
+             AS feature_milli
+    FROM documents ORDER BY doc_id
+"""
+
+QUERIES["media_resize"] = q_media_resize
+QUERIES["media_features"] = q_media_features
+ORACLES["media_resize"] = ORACLE_MEDIA_RESIZE
+ORACLES["media_features"] = ORACLE_MEDIA_FEATURES
