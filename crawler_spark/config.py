@@ -41,6 +41,12 @@ class CrawlConfig:
     # config; fetch-simulate ignores it, a real HTTP fetch stage passes it
     # to its client — same slot, same semantics
     proxy: str | None = None
+    # interaction hops > 0 carry only the rows that branched; when that
+    # count (known exactly from the hop accumulator) is at most this, the
+    # fetch join switches to a point-lookup path: collect the keys and
+    # push an IN filter to the parquet scans (row-group skipping) instead
+    # of streaming the whole web again. 0 disables.
+    point_lookup_threshold: int = 5000
     # priority propagation (engine addition; the reference has a single
     # FIFO). When True, a discovered link inherits priority = discovering
     # page's priority + 1 (BFS depth), and the scheduler's (priority, seq)

@@ -161,10 +161,26 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
     # build side — so Catalyst either shuffles the full span payload per
     # hop (sort-merge) or, with post-checkpoint unknown stats, broadcasts
     # the whole web.
+    state_size: int | None = None  # exact from the accumulator for hops > 0
     for _hop in range(cfg.max_interaction_hops + 1):
-        closure_rel = closure.join(
-            F.broadcast(state.select("current_url")), "current_url", "left_semi"
+        point_lookup = (
+            state_size is not None
+            and cfg.point_lookup_threshold > 0
+            and state_size <= cfg.point_lookup_threshold
         )
+        if point_lookup:
+            # Point-lookup path for the (tiny) branch hops: collect the
+            # hop's keys and push IN filters into the parquet scans —
+            # row-group min/max skipping instead of streaming the whole
+            # web for a handful of direction/meta/form refetches. Two
+            # driver collects over ≤ threshold rows buy skipping two
+            # full-table scans.
+            cur_urls = [r["current_url"] for r in state.select("current_url").distinct().collect()]
+            closure_rel = closure.where(F.col("current_url").isin(cur_urls)) if cur_urls else closure.where(F.lit(False))
+        else:
+            closure_rel = closure.join(
+                F.broadcast(state.select("current_url")), "current_url", "left_semi"
+            )
         swf = (
             state.join(closure_rel, "current_url", "left")
             .withColumn("final", F.coalesce(F.col("_closure_final"), F.col("current_url")))
@@ -174,9 +190,12 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
             .withColumn("aborted", F.coalesce(F.col("_closure_aborted"), F.lit(False)))
             .drop("_closure_final", "_closure_visited", "_closure_aborted")
         )
-        docs_rel = ctx.documents.withColumnRenamed("doc_id", "final").join(
-            F.broadcast(swf.select("final")), "final", "left_semi"
-        )
+        docs = ctx.documents.withColumnRenamed("doc_id", "final")
+        if point_lookup:
+            finals = [r["final"] for r in swf.select("final").distinct().collect()]
+            docs_rel = docs.where(F.col("final").isin(finals)) if finals else docs.where(F.lit(False))
+        else:
+            docs_rel = docs.join(F.broadcast(swf.select("final")), "final", "left_semi")
         fetched = (
             swf.join(docs_rel, "final", "left")
             .withColumn(
@@ -191,6 +210,7 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
         decision_parts.append(decisions)
         if branch_acc.value == acc_before:
             break
+        state_size = branch_acc.value - acc_before  # ≥ next hop's row count
         # meta-refresh gate: target already seen/pending/admitted ⇒ the row
         # is dropped entirely — nothing stored (src/Crawl.hs:138-140)
         meta_ok = (
