@@ -208,9 +208,26 @@ def resolve(base: str, raw_href: str) -> tuple[str | None, str | None, str | Non
 # ---------------------------------------------------------------------------
 
 
+# Worker-lifetime memos: Python workers are reused across batches, stages,
+# and rounds, and the same URLs recur heavily (frontier re-reads, repeated
+# link targets). canonicalize is pure, so cross-call caching is always
+# safe; bounded by a wholesale clear to cap worker memory.
+_CANON_MEMO: dict = {}
+_RESOLVE_MEMO: dict = {}
+_MEMO_CAP = 2_000_000
+
+
 def canonicalize_series(urls: pd.Series) -> pd.DataFrame:
-    uniq = {u: canonicalize(u) for u in pd.unique(urls.dropna())}
-    uniq[None] = (None, None, "null URL")
+    memo = _CANON_MEMO
+    uniq: dict = {None: (None, None, "null URL")}
+    for u in pd.unique(urls.dropna()):
+        r = memo.get(u)
+        if r is None:
+            r = canonicalize(u)
+            if len(memo) >= _MEMO_CAP:
+                memo.clear()
+            memo[u] = r
+        uniq[u] = r
 
     def get(u):  # noqa: ANN001
         return uniq.get(u, (None, None, "null URL"))
@@ -220,15 +237,16 @@ def canonicalize_series(urls: pd.Series) -> pd.DataFrame:
 
 
 def resolve_series(bases: pd.Series, hrefs: pd.Series) -> pd.DataFrame:
-    pairs = pd.DataFrame({"b": bases, "h": hrefs})
-    cache: dict[tuple, tuple] = {}
+    memo = _RESOLVE_MEMO
     out = []
-    for b, h in zip(pairs["b"], pairs["h"]):
+    for b, h in zip(bases, hrefs):
         key = (b, h)
-        r = cache.get(key)
+        r = memo.get(key)
         if r is None:
             r = resolve(b, h)
-            cache[key] = r
+            if len(memo) >= _MEMO_CAP:
+                memo.clear()
+            memo[key] = r
         out.append(r)
     return pd.DataFrame(out, columns=["url", "host", "kind", "message"])
 

@@ -1,0 +1,95 @@
+"""Watermarked streaming window aggregation (crawler_spark/streaming/events.py).
+
+Proves, with a deterministic availableNow drain:
+1. closed windows emit exactly the batch aggregates (batch plan = oracle),
+2. an event older than the watermark is DROPPED (its already-closed window
+   does not change),
+3. a late-but-in-watermark event still lands in its (open) window.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crawler_spark.streaming.events import run_streaming_window, windowed_event_counts
+
+BASE = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _ev(event_id: int, minutes: float, etype: str, value: float):
+    return {
+        "event_id": event_id,
+        "ts": BASE + dt.timedelta(minutes=minutes),
+        "user_id": event_id % 7,
+        "event_type": etype,
+        "value": value,
+        "props": "{}",
+    }
+
+
+_SCHEMA = pa.schema(
+    [
+        pa.field("event_id", pa.int64()),
+        pa.field("ts", pa.timestamp("us")),
+        pa.field("user_id", pa.int64()),
+        pa.field("event_type", pa.string()),
+        pa.field("value", pa.float64()),
+        pa.field("props", pa.string()),
+    ]
+)
+
+
+def _write(path: str, name: str, rows: list[dict], order: int) -> None:
+    os.makedirs(path, exist_ok=True)
+    f = os.path.join(path, name)
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    pq.write_table(pa.table(cols, schema=_SCHEMA), f)
+    t = time.time() + order * 2  # file-source processes in mtime order
+    os.utime(f, (t, t))
+
+
+def test_watermarked_streaming_window(spark, tmp_path):
+    in_dir, ckpt = str(tmp_path / "ev"), str(tmp_path / "ck")
+
+    h0 = [_ev(1, 5, "click", 1.0), _ev(2, 20, "click", 2.5), _ev(3, 40, "view", 0.5)]
+    h1 = [_ev(4, 65, "click", 1.5), _ev(5, 110, "view", 3.0)]
+    h2 = [_ev(6, 125, "click", 2.0)]
+    stale_h0 = _ev(7, 10, "click", 99.0)  # > watermark behind → dropped
+    late_h2 = _ev(8, 130, "view", 1.0)  # within watermark → counted
+    h3 = [_ev(9, 185, "click", 4.0)]
+    h4_closer = [_ev(10, 290, "view", 0.25)]  # pushes watermark past H2/H3
+
+    _write(in_dir, "f1.parquet", h0 + h1, 0)
+    _write(in_dir, "f2.parquet", h2, 1)
+    _write(in_dir, "f3.parquet", [stale_h0, late_h2], 2)
+    _write(in_dir, "f4.parquet", h3 + h4_closer, 3)
+
+    q = run_streaming_window(spark, in_dir, ckpt, watermark="10 minutes")
+    q.awaitTermination(180)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+        for r in spark.sql("SELECT * FROM windowed_events").collect()
+    }
+
+    # batch oracle over exactly the non-dropped events
+    kept = h0 + h1 + h2 + [late_h2] + h3 + h4_closer
+    batch = spark.createDataFrame([tuple(r.values()) for r in kept], schema=_SCHEMA.names)
+    batch = batch.withColumn("ts", batch["ts"].cast("timestamp"))
+    expect_all = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+        for r in windowed_event_counts(batch).collect()
+    }
+    h4_start = BASE + dt.timedelta(hours=4)
+    expect_closed = {k: v for k, v in expect_all.items() if k[0] < h4_start}
+
+    assert got == expect_closed
+    # the stale event really was dropped: H0/click would be 3 events with it
+    assert got[(BASE, "click")] == (2, 350)
+    # the in-watermark late event really landed: H2/view exists via late_h2 only
+    assert got[(BASE + dt.timedelta(hours=2), "view")] == (1, 100)
