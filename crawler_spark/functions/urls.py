@@ -216,24 +216,52 @@ _CANON_MEMO: dict = {}
 _RESOLVE_MEMO: dict = {}
 _MEMO_CAP = 2_000_000
 
+# Already-canonical fast path: for URLs in this language, `canonicalize`
+# is provably the identity with host = the netloc group — lowercase
+# http(s) scheme (no case change), lowercase host, no userinfo/port (no
+# strip), a '/'-led path over chars needing no escape normalization, no
+# '%' (no escapes), no '?'/'#' (no query/fragment handling), and the
+# extra `/.`-free check rules out every dot-segment form. Everything else
+# falls through to the scalar kernel. test_urls locks the equivalence
+# over this language's samples.
+_FAST_CANON_RE = re.compile(r"^https?://[a-z0-9][a-z0-9.\-]*(/[A-Za-z0-9/_\-~.]*)?$")
+
 
 def canonicalize_series(urls: pd.Series) -> pd.DataFrame:
-    memo = _CANON_MEMO
-    uniq: dict = {None: (None, None, "null URL")}
-    for u in pd.unique(urls.dropna()):
-        r = memo.get(u)
-        if r is None:
-            r = canonicalize(u)
-            if len(memo) >= _MEMO_CAP:
-                memo.clear()
-            memo[u] = r
-        uniq[u] = r
+    s = urls.astype("object")
+    notnull = s.notna()
+    fast = (
+        notnull
+        & s.str.match(_FAST_CANON_RE, na=False)
+        & ~s.str.contains("/.", regex=False, na=False)
+    )
+    # host = between '//' and the next '/'; path may be absent entirely
+    hosts = s[fast].str.extract(r"^https?://([^/]*)", expand=False)
 
-    def get(u):  # noqa: ANN001
-        return uniq.get(u, (None, None, "null URL"))
+    out_url = pd.Series([None] * len(s), dtype="object", index=s.index)
+    out_host = pd.Series([None] * len(s), dtype="object", index=s.index)
+    out_err = pd.Series([None] * len(s), dtype="object", index=s.index)
+    out_url[fast] = s[fast]
+    out_host[fast] = hosts
+    out_err[~notnull] = "null URL"
 
-    rows = [get(u) for u in urls]
-    return pd.DataFrame(rows, columns=["url", "host", "error"])
+    slow_idx = notnull & ~fast
+    if slow_idx.any():
+        memo = _CANON_MEMO
+        uniq: dict = {}
+        for u in pd.unique(s[slow_idx]):
+            r = memo.get(u)
+            if r is None:
+                r = canonicalize(u)
+                if len(memo) >= _MEMO_CAP:
+                    memo.clear()
+                memo[u] = r
+            uniq[u] = r
+        slow_rows = [uniq[u] for u in s[slow_idx]]
+        out_url[slow_idx] = [r[0] for r in slow_rows]
+        out_host[slow_idx] = [r[1] for r in slow_rows]
+        out_err[slow_idx] = [r[2] for r in slow_rows]
+    return pd.DataFrame({"url": out_url, "host": out_host, "error": out_err})
 
 
 def resolve_series(bases: pd.Series, hrefs: pd.Series) -> pd.DataFrame:

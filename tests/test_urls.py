@@ -176,3 +176,53 @@ def test_series_wrappers_match_scalar():
     out2 = resolve_series(pd.Series([BASE] * len(hrefs)), pd.Series(hrefs))
     for href, url in zip(hrefs, out2["url"]):
         assert url == resolve(BASE, href)[0]
+
+
+# ---------------------------------------------------------------------------
+# Fast-path language: canonicalize_series' vectorized identity path must
+# agree with the scalar kernel everywhere, especially AT the language
+# boundary (dots, ports, case, escapes, queries, fragments)
+# ---------------------------------------------------------------------------
+_BOUNDARY_SAMPLES = [
+    "http://host0.example.org/p1",          # plain fast path
+    "https://a-b.c9.org/x/y_z/~w-",         # every allowed path char class
+    "http://host.example.org",              # no path at all
+    "http://host.example.org/",             # root path
+    "http://h.org/p1.html",                 # dot inside a segment (fast)
+    "http://h.org/a/.hidden",               # '/.': must take slow path
+    "http://h.org/a/./b",                   # dot segment
+    "http://h.org/a/../b",                  # dotdot segment
+    "http://h.org/p?q=1",                   # query
+    "http://h.org/p#frag",                  # fragment
+    "http://h.org:80/p",                    # default port strip
+    "http://h.org:8080/p",                  # kept port
+    "HTTP://h.org/p",                       # scheme case
+    "http://H.ORG/p",                       # host case
+    "http://h.org/p%41",                    # escape to decode
+    "http://user@h.org/p",                  # userinfo
+    "http://h.org//double//slash",          # empty segments
+    "http://h.org/..",                      # bare dotdot
+]
+
+
+def test_canonicalize_series_fast_path_equivalence():
+    out = canonicalize_series(pd.Series(_BOUNDARY_SAMPLES, dtype=object))
+    for raw, url, host, err in zip(
+        _BOUNDARY_SAMPLES, out["url"], out["host"], out["error"]
+    ):
+        eu, eh, ee = canonicalize(raw)
+        assert (url, host, err) == (eu, eh, ee), raw
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.builds(
+        lambda h, path: f"http://{h}.org/{path}",
+        st.from_regex(r"[a-z0-9][a-z0-9.\-]{0,10}", fullmatch=True),
+        st.from_regex(r"[A-Za-z0-9/_\-~.]{0,12}", fullmatch=True),
+    )
+)
+def test_canonicalize_series_fast_path_property(u):
+    out = canonicalize_series(pd.Series([u], dtype=object))
+    eu, eh, ee = canonicalize(u)
+    assert (out["url"][0], out["host"][0], out["error"][0]) == (eu, eh, ee), u
