@@ -212,3 +212,36 @@ def test_url_include_patterns_and_no_robots(spark, tmp_state):
     )
     sim, sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=5)
     assert_equivalent(spark, sim_res, run)
+
+
+def test_everything_at_once(spark, tmp_state):
+    """Adversarial combination: hot-host skew + redirects (incl. the
+    >20-hop abort chain) + directions + meta-refresh + forms + session
+    cookies + gated docs + depth priority + crawl-delay budgets + quota,
+    run long enough to cross several round boundaries. One divergence
+    anywhere in any subsystem breaks exact trace parity."""
+    web = generate(
+        n_docs=120,
+        n_hosts=8,
+        seed=47,
+        hot_host_frac=0.4,
+        n_redirects=8,
+        long_chain=True,
+        meta_refresh_rate=0.08,
+        form_rate=0.12,
+        direction_rate=0.08,
+        cookie_gate_rate=0.15,
+        links_per_doc=7,
+    )
+    config = CrawlConfig(
+        seeds=tuple(web["seeds"]["url"]),
+        domain_include_patterns=("example.org",),
+        per_host_budget=3,
+        crawl_limit=60,
+        scheduler_salts=4,
+        depth_priority=True,
+    )
+    sim, sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=8)
+    assert len(sim_res.fetch_order) > 30
+    assert sim_res.stored and len(sim_res.stored) <= 60
+    assert_equivalent(spark, sim_res, run)
