@@ -91,3 +91,33 @@ def test_stream_then_crawl_then_stream(stream_run, spark, tmp_path):
     fr = [r["url"] for r in run.catalog.frontier.read(spark).select("url").collect()]
     assert sorted(fr) == sorted(set(fr))  # still no dupes
     assert set(new) <= set(fr)
+
+
+def test_stream_state_survives_restart(stream_run, spark, tmp_path):
+    """applyInPandasWithState state is Spark-checkpointed: a NEW query over
+    the SAME checkpoint must remember every url_hash it already emitted,
+    so re-sent URLs are deduped by restored state (before any table
+    anti-join could catch them — they were admitted pre-restart)."""
+    web, run = stream_run
+    doc_urls = [d["doc_id"] for d in web["documents"].to_dict("records")]
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+
+    _write_urls(in_dir, "a.txt", doc_urls[:5])
+    ingest = StreamingIngest(run, n_buckets=8)
+    ingest.start(in_dir, ckpt, available_now=True).awaitTermination(120)
+    assert sum(ingest.batches) == 5
+
+    # restart: same checkpoint, fresh query object; resend 3 old + 4 new.
+    # The old 3 ARE still pending in the frontier, so the table anti-join
+    # would also drop them — prove the STATE did it by counting emitted
+    # rows per micro-batch (state dedup happens before _admit_batch).
+    _write_urls(in_dir, "b.txt", doc_urls[:3] + doc_urls[5:9])
+    ingest2 = StreamingIngest(run, n_buckets=8)
+    q = ingest2.start(in_dir, ckpt, available_now=True)
+    q.awaitTermination(120)
+    # only the 4 genuinely-new URLs reached admission at all
+    assert sum(ingest2.batches) == 4
+
+    fr = [r["url"] for r in run.catalog.frontier.read(spark).select("url").collect()]
+    assert sorted(fr) == sorted(set(fr))
+    assert set(doc_urls[:9]) == set(fr)
