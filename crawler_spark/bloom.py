@@ -48,6 +48,11 @@ def _probes(url_hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
 
 class BloomSidecar:
     def __init__(self, root: str, n_buckets: int = 32, bits_per_bucket: int = 1 << 20, k: int = 7):
+        # power of two keeps signed pmod (JVM-side bucketing in the
+        # distributed merge) and the uint64 modulo used everywhere else
+        # assigning the SAME bucket to every hash
+        if n_buckets & (n_buckets - 1):
+            raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
         self.root = root
         self.n_buckets = n_buckets
         self.m_bits = bits_per_bucket
@@ -140,6 +145,57 @@ class BloomSidecar:
         else:
             hashes = np.array([], dtype=np.int64)
         self.merge_hashes(hashes.astype(np.int64), round_)
+
+    def merge_dir_distributed(self, spark, snapshot_dir: str, round_: int) -> None:
+        """Cluster-path merge: the round's url_seen delta is grouped by
+        bloom bucket and each bucket's bitmap is rebuilt EXECUTOR-side via
+        applyInPandas (read prior bitmap from shared storage, OR the
+        bucket's new probes, write the new copy-on-write file); the driver
+        only collects the (bucket, path) rows — one per touched bucket —
+        and commits the manifest. Byte-identical output to the
+        driver-side `merge_dir` (OR is order-free and the probe positions
+        depend only on the hashes), so the two paths are interchangeable
+        per round. Requires storage shared between driver and executors
+        (local FS here; object store / DFS on a cluster)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        manifest = dict(self.manifest())
+        root, k, m_bits = self.root, self.k, self.m_bits
+        prior = {int(b): p for b, p in manifest.items()}
+
+        def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            b = int(pdf["bucket"].iloc[0])
+            h = pdf["url_hash"].to_numpy(dtype=np.int64)
+            path = prior.get(b)
+            bm = (
+                np.fromfile(path, dtype=np.uint8)
+                if path is not None
+                else np.zeros(m_bits // 8, dtype=np.uint8)
+            )
+            bits = _probes(h, k, m_bits).ravel()
+            np.bitwise_or.at(bm, bits // 8, (1 << (bits % 8)).astype(np.uint8))
+            out = os.path.join(root, "bitmaps", f"b{b}_r{round_}.npy")
+            bm.tofile(out)
+            return pd.DataFrame([{"bucket": b, "path": out}])
+
+        delta = (
+            spark.read.parquet(snapshot_dir)
+            .select("url_hash")
+            .withColumn(
+                "bucket",
+                F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int"),
+            )
+        )
+        rows = (
+            delta.groupBy("bucket")
+            .applyInPandas(merge_bucket, "bucket int, path string")
+            .collect()
+        )
+        for r in rows:
+            manifest[str(r["bucket"])] = r["path"]
+        with open(self._manifest_path(round_), "w") as f:
+            json.dump(manifest, f)
 
     # -- query (the pre-filter) ---------------------------------------------
     def maybe_seen(self, url_hashes: pd.Series, manifest: dict[str, str]) -> pd.Series:

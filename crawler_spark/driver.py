@@ -74,6 +74,7 @@ class CrawlRun:
         form_instructions: list | None = None,
         use_bloom: bool = True,
         bloom_buckets: int = 32,
+        distributed_bloom_merge: bool = False,
     ):
         self.spark = spark
         self.config = config
@@ -102,6 +103,10 @@ class CrawlRun:
         self.next_seq = 0
         self.stored_total = 0
         self.timings: dict = {}
+        # cluster path: per-bucket bitmap rebuild executor-side
+        # (bloom.merge_dir_distributed); driver-side merge of the round
+        # delta is faster in local mode and byte-identical
+        self.distributed_bloom_merge = distributed_bloom_merge
 
     # -- seeding (S1/S2: src/Initialisation.hs:97-119, input order) ----------
     def seed(self, seed_urls: list[str]) -> None:
@@ -219,7 +224,10 @@ class CrawlRun:
             cat.tables[name].commit_staged(staged[name][0], round_)
         cat.metrics.append_local([(round_, k, float(v)) for k, v in counts.items()], round_)
         if self.ctx.bloom is not None:
-            self.ctx.bloom.merge_dir(staged["url_seen"][0], round_)
+            if self.distributed_bloom_merge:
+                self.ctx.bloom.merge_dir_distributed(spark, staged["url_seen"][0], round_)
+            else:
+                self.ctx.bloom.merge_dir(staged["url_seen"][0], round_)
         if counts["new_cookies"]:
             # jar for the NEXT round grows by this round's committed diff
             # (driver-local footer read — the delta dir is tiny)
