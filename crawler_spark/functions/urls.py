@@ -114,6 +114,15 @@ def canonicalize(raw: str) -> tuple[str | None, str | None, str | None]:
     """
     if raw is None:
         return None, None, "null URL"
+    # identity fast path — same language as the vectorized wrapper
+    # (_FAST_CANON_RE below); normalization is provably a no-op there.
+    # _canonicalize_slow is the unshortcut kernel (tests compare the two)
+    if _FAST_CANON_RE.match(raw) and "/." not in raw:
+        return raw, raw.split("://", 1)[1].split("/", 1)[0], None
+    return _canonicalize_slow(raw)
+
+
+def _canonicalize_slow(raw: str) -> tuple[str | None, str | None, str | None]:
     s = raw.split("#", 1)[0]  # discard fragments pre-parse (src/Urls.hs:45-47)
     if not s or not _SCHEME_RE.match(s):
         return None, None, "not an absolute URI"
@@ -160,6 +169,37 @@ def canonicalize(raw: str) -> tuple[str | None, str | None, str | None]:
     return url, domain, None
 
 
+# Fast resolve paths (the decide stage's hot loop — resolve keys are
+# mostly distinct, so memoization alone doesn't help):
+# - absolute href already in the canonical identity language (see
+#   _FAST_CANON_RE) → returned as-is with a regex host extract;
+# - root-relative href over identity-safe chars against a base in the
+#   identity language → scheme://host of the base + href verbatim, which
+#   equals canonicalize(urljoin(base, href)) because the join replaces
+#   the whole path and the combined URL is back in the identity language.
+# Everything else falls to the full kernel. test_urls locks equivalence.
+# first char after '/' must not be another '/': '//host/path' is a
+# protocol-relative reference (RFC 3986 §4.2 network-path), not a path
+_FAST_REL_RE = re.compile(r"^/(?:[A-Za-z0-9_\-~.][A-Za-z0-9/_\-~.]*)?$")
+_FAST_BASE_MEMO: dict = {}
+
+
+def _fast_base_prefix(base: str):
+    """(scheme://host, host) for identity-language bases, else None."""
+    r = _FAST_BASE_MEMO.get(base)
+    if r is None:
+        if base is not None and _FAST_CANON_RE.match(base) and "/." not in base:
+            scheme, rest = base.split("://", 1)
+            host = rest.split("/", 1)[0]
+            r = (scheme + "://" + host, host)
+        else:
+            r = False
+        if len(_FAST_BASE_MEMO) >= _MEMO_CAP:
+            _FAST_BASE_MEMO.clear()
+        _FAST_BASE_MEMO[base] = r
+    return r or None
+
+
 def resolve(base: str, raw_href: str) -> tuple[str | None, str | None, str | None, str | None]:
     """U5/U6 derelativise: resolve a raw href against the page URL.
 
@@ -172,7 +212,14 @@ def resolve(base: str, raw_href: str) -> tuple[str | None, str | None, str | Non
     href = _sanitise_href(raw_href.strip())
     if href.startswith("mailto:"):
         return None, None, "warning", "Found an email " + href
+    if href.startswith("/") and _FAST_REL_RE.match(href) and "/." not in href:
+        pre = _fast_base_prefix(base)
+        if pre is not None:
+            return pre[0] + href, pre[1], "ok", None
     if _SCHEME_RE.match(href):
+        if _FAST_CANON_RE.match(href) and "/." not in href:
+            host = href.split("://", 1)[1].split("/", 1)[0]
+            return href, host, "ok", None
         url, dom, err = canonicalize(href)
         if err is not None:
             return None, None, "error", "Could not parse URL: " + href

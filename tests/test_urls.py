@@ -206,12 +206,15 @@ _BOUNDARY_SAMPLES = [
 
 
 def test_canonicalize_series_fast_path_equivalence():
+    from crawler_spark.functions.urls import _canonicalize_slow
+
     out = canonicalize_series(pd.Series(_BOUNDARY_SAMPLES, dtype=object))
     for raw, url, host, err in zip(
         _BOUNDARY_SAMPLES, out["url"], out["host"], out["error"]
     ):
-        eu, eh, ee = canonicalize(raw)
+        eu, eh, ee = _canonicalize_slow(raw)
         assert (url, host, err) == (eu, eh, ee), raw
+        assert canonicalize(raw) == (eu, eh, ee), raw  # scalar fast path too
 
 
 @settings(max_examples=300, deadline=None)
@@ -223,6 +226,79 @@ def test_canonicalize_series_fast_path_equivalence():
     )
 )
 def test_canonicalize_series_fast_path_property(u):
+    from crawler_spark.functions.urls import _canonicalize_slow
+
     out = canonicalize_series(pd.Series([u], dtype=object))
-    eu, eh, ee = canonicalize(u)
+    eu, eh, ee = _canonicalize_slow(u)
     assert (out["url"][0], out["host"][0], out["error"][0]) == (eu, eh, ee), u
+    assert canonicalize(u) == (eu, eh, ee), u
+
+
+_RESOLVE_BOUNDARY = [
+    ("http://h.org/a/b", "/p1"),              # fast rel
+    ("http://h.org/a/b", "/"),                # root
+    ("http://h.org", "/p1"),                  # pathless base
+    ("http://h.org/a/b", "/p1.html"),         # dot in segment
+    ("http://h.org/a/b", "/a/.h"),            # '/.': slow path
+    ("http://h.org/a/b", "/../x"),            # dotdot: slow path
+    ("http://h.org/a/b", "p1"),               # non-root relative: slow
+    ("http://h.org/a/b", ""),                 # empty: base itself
+    ("http://h.org/a/b", "/p?q=1"),           # query: slow
+    ("http://h.org/a/b", "/p#f"),             # fragment stripped first
+    ("http://h.org/a/b", " /p1 "),            # whitespace trim
+    ("http://h.org:81/a", "/p1"),             # ported base: slow
+    ("HTTP://h.org/a", "/p1"),                # non-canonical base: slow
+    ("http://h.org/./a", "/p1"),              # base with dot segment: slow
+    ("ht!tp://bad", "/p1"),                   # bad base
+    (None, "/p1"),                            # null base
+    ("http://h.org/a", "http://x.org/q"),     # fast absolute
+    ("http://h.org/a", "http://x.org/q#f"),   # absolute w/ fragment
+    ("http://h.org/a", "HTTP://x.org/q"),     # case: slow absolute
+    ("http://h.org/a", "http://x.org:80/q"),  # port: slow absolute
+    ("http://h.org/a", "mailto:a@b"),         # warning
+]
+
+
+def test_resolve_fast_path_equivalence():
+    """The fast resolve paths must agree with the full kernel: compare
+    against a reconstruction that forces the slow path by perturbing the
+    inputs out of the fast language is impossible in general, so instead
+    compare against the prior semantics: canonicalize(urljoin(...)) for
+    rel, canonicalize(href) for absolute."""
+    from urllib.parse import urljoin
+
+    from crawler_spark.functions.urls import _sanitise_href
+
+    for base, raw in _RESOLVE_BOUNDARY:
+        got = resolve(base, raw)
+        href = _sanitise_href(raw.strip()) if raw is not None else None
+        if (
+            base is not None
+            and href
+            and not href.startswith("mailto:")
+            and base.lower().startswith("http")
+            and "!" not in base
+        ):
+            if href.startswith("/"):
+                bu = canonicalize(base)[0]
+                if bu is not None:
+                    expect = canonicalize(urljoin(bu, href))[0]
+                    assert got[0] == expect, (base, raw, got)
+            elif href.lower().startswith("http"):
+                assert got[0] == canonicalize(href)[0], (base, raw, got)
+        assert len(got) == 4
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.from_regex(r"http://[a-z0-9][a-z0-9.\-]{0,8}\.org(/[A-Za-z0-9/_\-~.]{0,8})?", fullmatch=True),
+    st.from_regex(r"/[A-Za-z0-9/_\-~.]{0,10}", fullmatch=True),
+)
+def test_resolve_fast_rel_property(base, href):
+    from urllib.parse import urljoin
+
+    got = resolve(base, href)
+    bu = canonicalize(base)[0]
+    expect_url = canonicalize(urljoin(bu, href))[0] if bu else None
+    expect_host = canonicalize(urljoin(bu, href))[1] if bu else None
+    assert (got[0], got[1]) == (expect_url, expect_host), (base, href, got)
