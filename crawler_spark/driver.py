@@ -18,6 +18,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crawler_spark.plans import expressions as X
+
 from concurrent.futures import Future, ThreadPoolExecutor
 
 from crawler_spark.bloom import BloomSidecar
@@ -123,7 +125,7 @@ class CrawlRun:
 
         canonicalize_urls, _ = register_udfs()
         spark = self.spark
-        canon = raw.withColumn("c", canonicalize_urls(F.trim(F.col("raw")))).select(
+        canon = raw.withColumn("c", canonicalize_urls(X.ws_trim_col(F.col("raw")))).select(
             "pos", "raw", F.col("c.url").alias("url"), F.col("c.host").alias("host"), F.col("c.error").alias("error")
         ).localCheckpoint()
         seed_errors = _err(
@@ -201,11 +203,11 @@ class CrawlRun:
 
         with ThreadPoolExecutor(max_workers=4) as pool:
             stager = _Stager(spark, cat, pool)
-            res = run_round(
+            ok = run_round(
                 self.ctx, frontier, scheduled, url_seen, round_,
                 self.next_seq, self.stored_total, stager=stager, timings=timings,
             )
-            if res is None:
+            if ok is None:
                 return False
             t0 = time.time()
             staged = stager.wait()

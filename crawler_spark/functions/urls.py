@@ -180,7 +180,7 @@ def _canonicalize_slow(raw: str) -> tuple[str | None, str | None, str | None]:
 # Everything else falls to the full kernel. test_urls locks equivalence.
 # first char after '/' must not be another '/': '//host/path' is a
 # protocol-relative reference (RFC 3986 §4.2 network-path), not a path
-_FAST_REL_RE = re.compile(r"^/(?:[A-Za-z0-9_\-~.][A-Za-z0-9/_\-~.]*)?$")
+_FAST_REL_RE = re.compile(r"^/(?:[A-Za-z0-9_\-~.][A-Za-z0-9/_\-~.]*)?\Z")
 _FAST_BASE_MEMO: dict = {}
 
 
@@ -217,10 +217,7 @@ def resolve(base: str, raw_href: str) -> tuple[str | None, str | None, str | Non
         if pre is not None:
             return pre[0] + href, pre[1], "ok", None
     if _SCHEME_RE.match(href):
-        if _FAST_CANON_RE.match(href) and "/." not in href:
-            host = href.split("://", 1)[1].split("/", 1)[0]
-            return href, host, "ok", None
-        url, dom, err = canonicalize(href)
+        url, dom, err = canonicalize(href)  # has its own identity fast path
         if err is not None:
             return None, None, "error", "Could not parse URL: " + href
         return url, dom, "ok", None
@@ -271,7 +268,7 @@ _MEMO_CAP = 2_000_000
 # extra `/.`-free check rules out every dot-segment form. Everything else
 # falls through to the scalar kernel. test_urls locks the equivalence
 # over this language's samples.
-_FAST_CANON_RE = re.compile(r"^https?://[a-z0-9][a-z0-9.\-]*(/[A-Za-z0-9/_\-~.]*)?$")
+_FAST_CANON_RE = re.compile(r"^https?://[a-z0-9][a-z0-9.\-]*(/[A-Za-z0-9/_\-~.]*)?\Z")
 
 
 def canonicalize_series(urls: pd.Series) -> pd.DataFrame:

@@ -68,3 +68,13 @@ def host_budget_col(per_host_budget: int, crawl_delay: Column) -> Column:
         .otherwise(F.greatest(F.lit(1).cast("long"), base.cast("long")))
         .cast("int")
     )
+
+
+def ws_trim_col(col):
+    """Whitespace trim matching Python str.strip() — the reference's trim
+    (src/Shared.hs:41-42) removes all whitespace, while Spark's F.trim
+    removes only ASCII spaces (a newline-suffixed seed must canonicalize
+    like its stripped form, as the simulator does)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, r"^\s+|\s+$", "")

@@ -52,17 +52,6 @@ class RoundContext:
     cookie_jar: frozenset = frozenset()
 
 
-@dataclass
-class RoundResult:
-    admitted: DataFrame  # (url, url_hash, host, priority, seq, rank)
-    scheduled_append: DataFrame
-    frontier_append: DataFrame
-    url_seen_append: DataFrame
-    crawled_append: DataFrame
-    errors_append: DataFrame
-    session_append: DataFrame
-
-
 def _err(df: DataFrame, kind: str, url_col, message_col, round_: int) -> DataFrame:
     return df.select(
         F.lit(kind).alias("kind"),
@@ -342,17 +331,20 @@ def run_round(
     stored_total: int,
     stager=None,
     timings: dict | None = None,
-) -> RoundResult | None:
-    """Execute round `round_`; returns None when the frontier is drained.
+) -> bool | None:
+    """Execute round `round_`; returns None when the frontier is drained,
+    True otherwise — every output lands in `stager` (required).
 
-    stager (driver._Stager): when given, each output table's append
-    DataFrame is written straight to its staged snapshot dir — the write
-    IS the round's materialization point (replacing localCheckpoint +
-    append writing the same rows twice), and tables with no downstream
-    consumers in this round (scheduled/crawled/errors) stage from
-    concurrent driver threads while the dependent chain
-    (url_seen → frontier) continues on this one.
+    stager (driver._Stager): each output table's append DataFrame is
+    written straight to its staged snapshot dir — the write IS the
+    round's materialization point (replacing localCheckpoint + append
+    writing the same rows twice), and tables with no downstream consumers
+    in this round (scheduled/crawled/errors) stage from concurrent driver
+    threads while the dependent chain (url_seen → frontier) continues on
+    this one.
     """
+    if stager is None:
+        raise ValueError("run_round requires a stager")
     import time as _time
 
     cfg = ctx.config
@@ -365,12 +357,11 @@ def run_round(
             t0 = _time.time()
 
     def _mat(name: str, df: DataFrame) -> DataFrame:
-        """Materialize an append DF: staged table write when available."""
-        return df.localCheckpoint() if stager is None else stager.materialize(name, df)
+        """Materialize an append DF as its staged table write."""
+        return stager.materialize(name, df)
 
     def _submit(name: str, df: DataFrame) -> None:
-        if stager is not None:
-            stager.submit(name, df)
+        stager.submit(name, df)
 
     pending = pending_frontier(frontier, scheduled).localCheckpoint()
     admitted = schedule(pending, ctx).localCheckpoint()
@@ -393,10 +384,14 @@ def run_round(
 
     # A5/D6: new cookies this round = observed (first setter in
     # (rank, hop) order wins) minus the jar — responseCookies \\ jar
-    # (src/Crawl.hs:159,164-167), committed at the round boundary
+    # (src/Crawl.hs:159,164-167), committed at the round boundary. The
+    # jar is anti-joined as a broadcast DataFrame, not an isin literal:
+    # the jar grows with login-host count, and a per-cookie plan literal
+    # would bloat the plan linearly with everything ever seen
+    jar_df = ctx.spark.createDataFrame([(c,) for c in ctx.cookie_jar], "cookie string")
     session_append = (
         decisions.select("rank", "hops", "final_url", F.explode("cookies").alias("cookie"))
-        .where(~F.col("cookie").isin(*ctx.cookie_jar) if ctx.cookie_jar else F.lit(True))
+        .join(F.broadcast(jar_df), "cookie", "left_anti")
         .groupBy("cookie")
         .agg(F.min(F.struct("rank", "hops", "final_url")).alias("k"))
         .select("cookie", F.col("k.final_url").alias("url"), F.lit(round_).alias("round"))
@@ -505,14 +500,6 @@ def run_round(
     )
     errors_append = decision_errors.unionByName(link_errors).unionByName(host_null_errors)
     _submit("errors", errors_append)
-    frontier_append = _mat("frontier", frontier_append)
+    _mat("frontier", frontier_append)
     _lap("frontier")
-    return RoundResult(
-        admitted=admitted,
-        scheduled_append=scheduled_append,
-        frontier_append=frontier_append,
-        url_seen_append=url_seen_append,
-        crawled_append=crawled_append,
-        errors_append=errors_append,
-        session_append=session_append,
-    )
+    return True

@@ -21,6 +21,8 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from crawler_spark.plans import expressions as X
+
 from crawler_spark.driver import CrawlRun
 from crawler_spark.plans.round import pending_frontier
 
@@ -55,7 +57,7 @@ def add_urls(run: CrawlRun, urls: list[str]) -> int:
     from crawler_spark.functions.urls import register_udfs
 
     canonicalize_urls, _ = register_udfs()
-    canon = raw.withColumn("c", canonicalize_urls(F.trim(F.col("raw")))).select(
+    canon = raw.withColumn("c", canonicalize_urls(X.ws_trim_col(F.col("raw")))).select(
         "pos",
         F.col("c.url").alias("url"),
         F.col("c.host").alias("host"),

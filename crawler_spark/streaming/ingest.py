@@ -37,6 +37,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from crawler_spark.plans import expressions as X
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from crawler_spark.driver import CrawlRun
@@ -49,10 +51,12 @@ _STATE_SCHEMA = "seen array<bigint>"
 def _dedup_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     """First occurrence per url_hash within this bucket's stream history.
 
-    State = the bucket's sorted seen-hash list. Exactness note: like D1,
-    hash equality stands in for URL equality at stream speed; the
-    foreachBatch admission re-checks exactly against the tables, so a
-    (2^-64-rare) collision can only delay a URL, never corrupt state.
+    State = the bucket's sorted seen-hash list. Exactness note: unlike
+    D1's bloom (whose false positives fall through to an exact check),
+    hash equality IS the dedup key here — a distinct URL colliding on
+    xxhash64 with an earlier one (~2^-64 per pair) is dropped by this
+    stage and never reaches admission. Acceptable for stream ingestion;
+    the crawl's own url_seen dedup stays exact.
     """
     seen = set(state.get[0]) if state.exists else set()
     for pdf in pdfs:
@@ -97,7 +101,7 @@ class StreamingIngest:
 
         canonicalize_urls, _ = register_udfs()
         canon = (
-            batch_df.withColumn("c", canonicalize_urls(F.trim(F.col("url"))))
+            batch_df.withColumn("c", canonicalize_urls(X.ws_trim_col(F.col("url"))))
             .select(
                 F.col("c.url").alias("url"),
                 F.col("c.host").alias("host"),
@@ -120,6 +124,11 @@ class StreamingIngest:
         fa, _errs = admit_candidates(occ, seen, pending, run.ctx, run.round, run.next_seq)
         n = run.catalog.frontier.append(fa, run.round - 1)
         run.next_seq += n
+        # durability barrier: the admitted rows carry seq values, so the
+        # advanced next_seq must outlive a crash — without this runs-row
+        # commit, resume() would restore a stale counter and later
+        # admissions would collide with the streamed seqs
+        run._commit_run_row(run.round - 1, pending=-1)
         self.batches.append(n)
 
     def start(self, input_dir: str, checkpoint_dir: str, available_now: bool = True):

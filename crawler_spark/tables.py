@@ -155,17 +155,6 @@ class SnapshotTable:
         self._commit([target], round_)
         return _dir_row_count(target)
 
-    def read_snapshot_column(self, version_offset: int = 0, column: str | None = None):
-        """Driver-side pyarrow read of the newest data dir (for small
-        per-round deltas, e.g. bloom merges) — avoids a Spark collect."""
-        import pyarrow.parquet as pq
-
-        dirs = self._manifest(self._current_version())["dirs"]
-        if not dirs:
-            return None
-        table = pq.read_table(dirs[-1], columns=[column] if column else None)
-        return table
-
     def rollback_to_round(self, round_: int) -> None:
         """Walk the parent chain to the newest ancestor whose round ≤ round_."""
         v = self._current_version()

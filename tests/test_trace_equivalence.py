@@ -245,3 +245,26 @@ def test_everything_at_once(spark, tmp_state):
     assert len(sim_res.fetch_order) > 30
     assert sim_res.stored and len(sim_res.stored) <= 60
     assert_equivalent(spark, sim_res, run)
+
+
+def test_whitespace_and_garbage_seeds_parity(spark, tmp_state):
+    """Seed trimming must match the simulator's str.strip() (the
+    reference trims all whitespace, src/Shared.hs:41-42): a
+    newline-suffixed seed is admitted as its stripped form, garbage
+    errors identically on both sides."""
+    web = generate(n_docs=40, n_hosts=4, seed=19, n_redirects=2)
+    good = web["seeds"]["url"][0]
+    seeds = [good + "\n", "\t" + good + " ", "  ht tp://bad  ", "mailto:x@y"]
+    config = CrawlConfig(domain_include_patterns=("example.org",), per_host_budget=2)
+
+    sim = Simulator(web, config)
+    sim.seed(seeds)
+    sim_res = sim.run(max_rounds=3)
+
+    docs, redirects, robots = web_to_spark(spark, web)
+    run = CrawlRun(spark, config, tmp_state, docs, redirects, robots, bloom_buckets=8)
+    run.seed(seeds)
+    run.run(max_rounds=3)
+    assert_equivalent(spark, sim_res, run)
+    # the stripped duplicate was admitted once
+    assert sum(1 for (_, _, u) in sim_res.fetch_order if u == good) == 1

@@ -302,3 +302,20 @@ def test_resolve_fast_rel_property(base, href):
     expect_url = canonicalize(urljoin(bu, href))[0] if bu else None
     expect_host = canonicalize(urljoin(bu, href))[1] if bu else None
     assert (got[0], got[1]) == (expect_url, expect_host), (base, href, got)
+
+
+def test_fast_path_rejects_trailing_newline():
+    """Regression: '$' in the fast-path regexes matched before a trailing
+    newline, silently accepting URLs the kernel rejects as illegal."""
+    from crawler_spark.functions.urls import _canonicalize_slow
+
+    for u in ("http://example.org/a\n", "http://example.org\n", "http://e.org/\n"):
+        assert _canonicalize_slow(u) == (None, None, "illegal character in URI")
+        assert canonicalize(u) == (None, None, "illegal character in URI"), u
+        out = canonicalize_series(pd.Series([u], dtype=object))
+        assert out["error"][0] == "illegal character in URI", u
+    # resolve strips hrefs first (src/Parse.hs:50 trim), so a trailing
+    # newline resolves like the trimmed href; an INTERIOR newline must
+    # fall off the fast path and error like the kernel
+    assert resolve("http://h.org/a", "/p\n") == ("http://h.org/p", "h.org", "ok", None)
+    assert resolve("http://h.org/a", "/p\nq")[2] == "error"
