@@ -35,7 +35,7 @@ DECISION_SCHEMA = (
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
     "links array<struct<url:string,host:string,kind:string,message:string,ord:int>>, "
     "errors array<struct<kind:string,url:string,message:string>>, "
-    "cookies array<string>"
+    "cookies array<string>, chain_cookies array<string>"
 )
 
 _COLS = [
@@ -50,6 +50,7 @@ _COLS = [
     "links",
     "errors",
     "cookies",
+    "chain_cookies",
 ]
 
 
@@ -102,7 +103,7 @@ def make_decide(config, directions, form_instructions, branch_acc=None, cookie_j
                          "message": f"Too many redirects from {row.current_url}"}
                     )
                     out.append((row.rank, row.scheduled_url, None, "failed", None,
-                                row.hops, visited, None, None, errors, None))
+                                row.hops, visited, None, None, errors, None, None))
                     continue
                 final = row.final
                 if row.spans is None or isinstance(row.spans, float):  # null → None/NaN
@@ -111,7 +112,7 @@ def make_decide(config, directions, form_instructions, branch_acc=None, cookie_j
                          "message": f"Fetch failed: {final}"}
                     )
                     out.append((row.rank, row.scheduled_url, final, "failed", None,
-                                row.hops, visited, None, None, errors, None))
+                                row.hops, visited, None, None, errors, None, None))
                     continue
                 if row.too_big:
                     errors.append(
@@ -119,22 +120,25 @@ def make_decide(config, directions, form_instructions, branch_acc=None, cookie_j
                          "message": f"Content too large: {final}"}
                     )
                     out.append((row.rank, row.scheduled_url, final, "failed", None,
-                                row.hops, visited, None, None, errors, None))
+                                row.hops, visited, None, None, errors, None, None))
                     continue
 
                 spans = list(row.spans)
+                chain_prev = list(row.chain_cookies or [])
                 # session gate (A5): cookie-gated doc without its cookie in
-                # the round-start jar = auth failure; spans never parsed
+                # the round-start jar OR set earlier in this chain
+                # (src/Fetch.hs cookie threading) = auth failure
                 req = cl.required_cookie(spans)
-                if req is not None and req not in cookie_jar:
+                if req is not None and req not in cookie_jar and req not in chain_prev:
                     errors.append(
                         {"kind": "CrawlError", "url": row.scheduled_url,
                          "message": f"Unauthorized (cookie required): {final}"}
                     )
                     out.append((row.rank, row.scheduled_url, final, "failed", None,
-                                row.hops, visited, None, None, errors, None))
+                                row.hops, visited, None, None, errors, None, None))
                     continue
                 cookies = cl.doc_cookies(spans) or None
+                chain_next = (chain_prev + [c for c in (cookies or []) if c not in chain_prev]) or None
                 decision, next_url = "store", None
                 if row.hops < max_hops:
                     target = cl.find_direction(final, spans, directions)
@@ -180,7 +184,7 @@ def make_decide(config, directions, form_instructions, branch_acc=None, cookie_j
                         decision = "store_drop"
                 out.append((row.rank, row.scheduled_url, final, decision, next_url,
                             row.hops, visited, spans if decision == "store_pass" else None,
-                            links, errors, cookies))
+                            links, errors, cookies, chain_next))
             if branch_acc is not None:
                 n_branch = sum(1 for r in out if r[3] in ("direction", "meta", "form"))
                 if n_branch:

@@ -130,6 +130,7 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
         "rank",
         F.col("url").alias("current_url"),
         F.lit(0).alias("hops"),
+        F.array().cast("array<string>").alias("chain_cookies"),
     )
     closure = ctx.closure.select(
         F.col("src_url").alias("current_url"),
@@ -213,6 +214,7 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
             "rank",
             F.col("next_url").alias("current_url"),
             (F.col("hops") + 1).alias("hops"),
+            "chain_cookies",
         )
 
     return decision_parts

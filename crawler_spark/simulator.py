@@ -156,6 +156,10 @@ class Simulator:
         """
         current = scheduled_url
         hops = 0
+        # chain-local cookie accumulation (src/Fetch.hs cookie threading):
+        # cookies set by docs earlier in THIS interaction chain are sent
+        # on the chain's later fetches, before any round-boundary sharing
+        chain_cookies: set[str] = set()
         while True:
             chain, visited = self._follow_redirects(current)
             if chain is None:
@@ -172,13 +176,14 @@ class Simulator:
             # session gate: a cookie-gated doc without its cookie in the
             # round-start jar is an auth failure; spans never parsed
             req = cl.required_cookie(spans)
-            if req is not None and req not in self.jar:
+            if req is not None and req not in self.jar and req not in chain_cookies:
                 self._error("CrawlError", scheduled_url, f"Unauthorized (cookie required): {final}", round_)
                 return ("failed", visited)
             # A5: every successfully fetched doc's cookies are collected
             # (first setter wins); they enter the jar at the round boundary
             for c in cl.doc_cookies(spans):
                 self.round_cookies.append((c, final))
+                chain_cookies.add(c)
             if hops < self.cfg.max_interaction_hops:
                 # branch 1: href direction (Crawl.hs:123-129)
                 direction = cl.find_direction(final, spans, self.directions)

@@ -268,3 +268,56 @@ def test_whitespace_and_garbage_seeds_parity(spark, tmp_state):
     assert_equivalent(spark, sim_res, run)
     # the stripped duplicate was admitted once
     assert sum(1 for (_, _, u) in sim_res.fetch_order if u == good) == 1
+
+
+def test_chain_local_cookie_unlocks_gated_page(spark, tmp_state):
+    """Cookie threading WITHIN one interaction chain (src/Fetch.hs):
+    A(form) → login result sets the session cookie → meta-refresh → gated
+    page G succeeds in the SAME chain, before any round boundary. G is
+    stored attributed to A; the cookie still lands in session_state."""
+    import json as _json
+
+    import pandas as pd
+
+    from crawler_spark.config import FormInstruction
+
+    host = "chain.example.org"
+    a = f"http://{host}/p0"
+    submit = f"http://{host}/login?pass=hunter2&user=admin"
+    gated = f"http://{host}/members"
+
+    def sp(kind, text=None, media_ref=None, offset=0):
+        return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+    form = {"method": "POST", "action": "/login",
+            "inputs": [{"key": "user", "value": ""}, {"key": "pass", "value": ""}]}
+    docs = pd.DataFrame([
+        {"doc_id": a, "spans": [sp("form", text=_json.dumps(form, sort_keys=True))]},
+        {"doc_id": submit, "spans": [
+            sp("set_cookie", text="sess-chain", offset=0),
+            sp("meta_refresh", text="/members", offset=1),
+        ]},
+        {"doc_id": gated, "spans": [
+            sp("require_cookie", text="sess-chain", offset=0),
+            sp("text", text="secret members area", offset=1),
+        ]},
+    ])
+    web = {
+        "documents": docs,
+        "redirects": pd.DataFrame(columns=["src_url", "dst_url", "status_code"]),
+        "robots_rules": pd.DataFrame(columns=["host", "allow_prefixes", "disallow_prefixes", "crawl_delay"]),
+        "seeds": pd.DataFrame({"seq": [0], "url": [a]}),
+        "form_instructions": [
+            FormInstruction(label="login", url_regex="/p0$", form_action_regex="/login$",
+                            params=(("user", "admin"), ("pass", "hunter2")))
+        ],
+        "href_directions": [],
+    }
+    config = CrawlConfig(seeds=(a,), domain_include_patterns=("example.org",), per_host_budget=2)
+    sim, sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=3)
+    # the gated page was reached and stored within the chain
+    assert [d["final_url"] for d in sim_res.stored] == [gated]
+    assert sim_res.url_seen.get(gated) == "completed"
+    assert not any("Unauthorized" in e["message"] for e in sim_res.errors)
+    assert [r["cookie"] for r in sim_res.session_state] == ["sess-chain"]
+    assert_equivalent(spark, sim_res, run)
