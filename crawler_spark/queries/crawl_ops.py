@@ -549,20 +549,23 @@ def q_chain_dedup(spark, sf_dir):
         F.concat(F.lit("u"), ((F.col("o_orderkey") + 1) % 11).cast("string")),
     )
     # engine semantics are order-preserving nub (trace tests cover that);
-    # the oracle compare sorts because DuckDB's list_distinct is unordered
+    # the oracle compare sorts because DuckDB's list_distinct is unordered.
+    # array_join: the driver harness canonicalizer can't sort list-typed
+    # cells (pandas TypeError), so both sides emit a '|'-joined string.
     return o.select(
-        "o_orderkey", F.array_sort(F.array_distinct(chain)).alias("chain")
+        "o_orderkey",
+        F.array_join(F.array_sort(F.array_distinct(chain)), "|").alias("chain"),
     ).orderBy("o_orderkey")
 
 
 ORACLE_CHAIN_DEDUP = """
     SELECT o_orderkey,
-           list_sort(list_distinct([
+           array_to_string(list_sort(list_distinct([
              'u' || CAST(o_orderkey % 11 AS VARCHAR),
              'u' || CAST(o_custkey % 11 AS VARCHAR),
              'u' || CAST(o_orderkey % 11 AS VARCHAR),
              'u' || CAST((o_orderkey + 1) % 11 AS VARCHAR)
-           ])) AS chain
+           ])), '|') AS chain
     FROM orders ORDER BY o_orderkey
 """
 
@@ -578,18 +581,19 @@ def q_cookie_diff(spark, sf_dir):
         F.concat(F.lit("c"), (F.col("o_custkey") % 7).cast("string")),
     )
     return o.select(
-        "o_orderkey", F.array_sort(F.array_except(response, sent)).alias("new_cookies")
+        "o_orderkey",
+        F.array_join(F.array_sort(F.array_except(response, sent)), "|").alias("new_cookies"),
     ).orderBy("o_orderkey")
 
 
 ORACLE_COOKIE_DIFF = """
     SELECT o_orderkey,
-           list_sort(list_distinct(list_filter(
+           array_to_string(list_sort(list_distinct(list_filter(
              ['c' || CAST(o_orderkey % 7 AS VARCHAR),
               'c' || CAST(o_custkey % 7 AS VARCHAR),
               'c' || CAST((o_orderkey + 3) % 7 AS VARCHAR)],
              x -> x != 'c' || CAST(o_custkey % 7 AS VARCHAR)
-           ))) AS new_cookies
+           ))), '|') AS new_cookies
     FROM orders ORDER BY o_orderkey
 """
 

@@ -650,6 +650,9 @@ def q_ann_lsh_topk(spark, sf_dir):
     bucket id — never all-pairs), then exact cosine rank within them."""
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()["embedding"])
+    # ORACLE_ANN_LSH_TOPK bakes the dim-64 projection literals into SQL;
+    # a different corpus dim would silently diverge from the oracle.
+    assert dim == 64, f"ann_lsh oracle assumes dim=64, got {dim}"
 
     corpus = _with_buckets(
         e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb")), "vb", dim
@@ -685,7 +688,62 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
-# no ORACLES entry: approximate by construction (driver records rows-only)
+
+
+# Although the LSH top-k is approximate relative to exact ANN, the pipeline
+# itself is fully deterministic: the splitmix hyperplane signs are pure
+# functions of (table, bit), so the DuckDB oracle reproduces bucket ids and
+# the ranked candidate set bit-exactly by embedding the ±1 projection
+# vectors as SQL literals (dim=64 across every testdata sf; guarded below).
+
+_ANN_LSH_DIM = 64
+
+
+def _lsh_proj_literal(t: int, b: int) -> str:
+    return "[" + ",".join(
+        "1.0" if v > 0 else "-1.0" for v in _proj_vector(t, b, _ANN_LSH_DIM)
+    ) + "]"
+
+
+def _lsh_bucket_sql(t: int) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product(v, {_lsh_proj_literal(t, b)}) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(ANN_LSH_BITS)
+    ]
+    return " + ".join(terms)
+
+
+ORACLE_ANN_LSH_TOPK = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bkt AS (
+      SELECT vec_id, v,
+             {_lsh_bucket_sql(0)} AS bk0,
+             {_lsh_bucket_sql(1)} AS bk1,
+             {_lsh_bucket_sql(2)} AS bk2
+      FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, v AS va, bk0, bk1, bk2 FROM bkt WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, v AS vb, bk0, bk1, bk2 FROM bkt),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id, q.va, c.vb
+      FROM q JOIN c ON (q.bk0 = c.bk0 OR q.bk1 = c.bk1 OR q.bk2 = c.bk2)
+      WHERE c.neighbor_id != q.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor(1000000 * list_dot_product(va, vb) /
+                  (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))) AS BIGINT)
+               AS cos_micro
+      FROM cand
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_micro DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+"""
+
+ORACLES["ann_lsh_topk"] = ORACLE_ANN_LSH_TOPK
 
 # ---------------------------------------------------------------------------
 # ANN IVF (inverted-file) variant — the second scale path next to LSH.
@@ -832,15 +890,24 @@ def q_media_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    return d.mapInPandas(
-        extract_features_batch, "doc_id bigint, feature_milli array<int>"
-    ).orderBy("doc_id")
+    # feature vector serialized to a '|'-joined string: the driver harness
+    # canonicalizer can't sort list-typed cells (pandas TypeError)
+    return (
+        d.mapInPandas(extract_features_batch, "doc_id bigint, feature_milli array<int>")
+        .select(
+            "doc_id",
+            F.array_join(F.col("feature_milli").cast("array<string>"), "|").alias(
+                "feature_milli"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 ORACLE_MEDIA_FEATURES = """
     SELECT doc_id,
-           list_transform([0,1,2,3,4,5,6,7],
-             i -> CAST((octet_length(encode(text)) * 31 + i * 17) % 1000 AS INT))
+           array_to_string(list_transform([0,1,2,3,4,5,6,7],
+             i -> CAST((octet_length(encode(text)) * 31 + i * 17) % 1000 AS INT)), '|')
              AS feature_milli
     FROM documents ORDER BY doc_id
 """
