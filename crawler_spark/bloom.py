@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -176,7 +177,13 @@ class BloomSidecar:
             bits = _probes(h, k, m_bits).ravel()
             np.bitwise_or.at(bm, bits // 8, (1 << (bits % 8)).astype(np.uint8))
             out = os.path.join(root, "bitmaps", f"b{b}_r{round_}.npy")
-            bm.tofile(out)
+            # task-unique temp + atomic rename: a speculative/retried task
+            # writing the final path directly could leave a truncated or
+            # interleaved bitmap behind the committed manifest; rename races
+            # are benign (content is deterministic per bucket/round)
+            tmp = f"{out}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+            bm.tofile(tmp)
+            os.replace(tmp, out)
             return pd.DataFrame([{"bucket": b, "path": out}])
 
         delta = (

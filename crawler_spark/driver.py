@@ -166,7 +166,11 @@ class CrawlRun:
         if self.ctx.bloom is not None:
             self.ctx.bloom.rollback_to_round(r)
         runs = self.catalog.runs.read(self.spark)
-        last = runs.orderBy(F.desc("round")).limit(1).collect()
+        # tie-break on next_seq: streaming ingest commits runs rows at the
+        # same round number as the crawl's own row, and next_seq is monotone
+        # across commits — picking max(round) alone could restore a stale
+        # next_seq whose reuse would collide with streamed seq values
+        last = runs.orderBy(F.desc("round"), F.desc("next_seq")).limit(1).collect()
         if last:
             self.round = last[0]["round"] + 1
             self.next_seq = last[0]["next_seq"]

@@ -74,7 +74,9 @@ def ws_trim_col(col):
     """Whitespace trim matching Python str.strip() — the reference's trim
     (src/Shared.hs:41-42) removes all whitespace, while Spark's F.trim
     removes only ASCII spaces (a newline-suffixed seed must canonicalize
-    like its stripped form, as the simulator does)."""
+    like its stripped form, as the simulator does). (?U) switches Java
+    regex \\s to UNICODE_CHARACTER_CLASS so NBSP/NEL/other Unicode
+    whitespace is stripped exactly like str.strip() does."""
     from pyspark.sql import functions as F
 
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    return F.regexp_replace(col, r"(?U)^\s+|\s+$", "")

@@ -137,8 +137,13 @@ def make_decide(config, directions, form_instructions, branch_acc=None, cookie_j
                     out.append((row.rank, row.scheduled_url, final, "failed", None,
                                 row.hops, visited, None, None, errors, None, None))
                     continue
-                cookies = cl.doc_cookies(spans) or None
-                chain_next = (chain_prev + [c for c in (cookies or []) if c not in chain_prev]) or None
+                doc_cs = cl.doc_cookies(spans)
+                # responseCookies \\ cookiesSent (src/Crawl.hs:159): the
+                # final hop's cookies minus those already sent on its fetch
+                # (set earlier in this chain); the round-start jar is
+                # subtracted downstream (broadcast anti-join in round.py)
+                new_cookies = [c for c in doc_cs if c not in chain_prev] or None
+                chain_next = (chain_prev + [c for c in doc_cs if c not in chain_prev]) or None
                 decision, next_url = "store", None
                 if row.hops < max_hops:
                     target = cl.find_direction(final, spans, directions)
@@ -182,9 +187,15 @@ def make_decide(config, directions, form_instructions, branch_acc=None, cookie_j
                             )
                     else:
                         decision = "store_drop"
+                # cookies column = the SHARE set, emitted only at store time
+                # with the include filter passed (src/Crawl.hs:157-163):
+                # intermediate-hop and store_drop rows share nothing — their
+                # cookies stay chain-local via chain_next
                 out.append((row.rank, row.scheduled_url, final, decision, next_url,
                             row.hops, visited, spans if decision == "store_pass" else None,
-                            links, errors, cookies, chain_next))
+                            links, errors,
+                            new_cookies if decision == "store_pass" else None,
+                            chain_next))
             if branch_acc is not None:
                 n_branch = sum(1 for r in out if r[3] in ("direction", "meta", "form"))
                 if n_branch:

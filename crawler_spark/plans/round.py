@@ -384,15 +384,19 @@ def run_round(
         decisions = decisions.unionByName(d)
     _lap("fetch_branch")
 
-    # A5/D6: new cookies this round = observed (first setter in
-    # (rank, hop) order wins) minus the jar — responseCookies \\ jar
-    # (src/Crawl.hs:159,164-167), committed at the round boundary. The
-    # jar is anti-joined as a broadcast DataFrame, not an isin literal:
-    # the jar grows with login-host count, and a per-cookie plan literal
-    # would bloat the plan linearly with everything ever seen
+    # A5/D6: cookies are shared only in storeResponse with the include
+    # filter passed (src/Crawl.hs:157-163): the decide stage emits the
+    # `cookies` share set (final-hop responseCookies minus chain-sent)
+    # only on store_pass rows; here the round-start jar is subtracted —
+    # responseCookies \\ cookiesSent — and the first setter in (rank, hop)
+    # order wins attribution, committed at the round boundary. The jar is
+    # anti-joined as a broadcast DataFrame, not an isin literal: the jar
+    # grows with login-host count, and a per-cookie plan literal would
+    # bloat the plan linearly with everything ever seen
     jar_df = ctx.spark.createDataFrame([(c,) for c in ctx.cookie_jar], "cookie string")
     session_append = (
-        decisions.select("rank", "hops", "final_url", F.explode("cookies").alias("cookie"))
+        decisions.where("decision = 'store_pass'")
+        .select("rank", "hops", "final_url", F.explode("cookies").alias("cookie"))
         .join(F.broadcast(jar_df), "cookie", "left_anti")
         .groupBy("cookie")
         .agg(F.min(F.struct("rank", "hops", "final_url")).alias("k"))

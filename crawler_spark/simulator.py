@@ -152,7 +152,11 @@ class Simulator:
     def _fetch_and_interact(self, scheduled_url: str, round_: int, gate_set: set[str]):
         """One scheduled URL through redirects + interaction branches.
 
-        Returns ('doc', chain, spans) | ('failed', urls) | ('dropped',).
+        Returns ('doc', chain, spans, new_cookies) | ('failed', urls)
+        | ('dropped',) — new_cookies = the final hop's cookies minus those
+        already sent on its fetch (responseCookies \\ chain-sent,
+        src/Crawl.hs:159); the caller shares them only after the store-time
+        include filter passes (src/Crawl.hs:157-163).
         """
         current = scheduled_url
         hops = 0
@@ -179,11 +183,13 @@ class Simulator:
             if req is not None and req not in self.jar and req not in chain_cookies:
                 self._error("CrawlError", scheduled_url, f"Unauthorized (cookie required): {final}", round_)
                 return ("failed", visited)
-            # A5: every successfully fetched doc's cookies are collected
-            # (first setter wins); they enter the jar at the round boundary
-            for c in cl.doc_cookies(spans):
-                self.round_cookies.append((c, final))
-                chain_cookies.add(c)
+            # chain-local accumulation only: cookies are NOT shared here —
+            # sharing happens solely at store time with the include filter
+            # passed (src/Crawl.hs:157-163); intermediate-hop and dropped
+            # docs' cookies stay chain-local
+            doc_cs = cl.doc_cookies(spans)
+            new_cookies = [c for c in doc_cs if c not in chain_cookies]
+            chain_cookies.update(doc_cs)
             if hops < self.cfg.max_interaction_hops:
                 # branch 1: href direction (Crawl.hs:123-129)
                 direction = cl.find_direction(final, spans, self.directions)
@@ -212,7 +218,7 @@ class Simulator:
                     current = submit
                     hops += 1
                     continue
-            return ("doc", chain, spans)
+            return ("doc", chain, spans, new_cookies)
 
     # -- the round loop --------------------------------------------------------
     def run(self, max_rounds: int | None = None) -> SimResult:
@@ -267,12 +273,16 @@ class Simulator:
                 continue
             if result[0] == "dropped":
                 continue
-            _, chain, spans = result
+            _, chain, spans, new_cookies = result
             final = chain[0]
             # F1 at store time, on the final redirect target (Crawl.hs:157)
             _, final_host, _ = canonicalize(final)
             if not cl.include_match(final, final_host, self.url_patterns, self.domain_patterns):
-                continue  # nothing: no marks, no store, no links (Crawl.hs:156-162)
+                continue  # nothing: no marks, no store, no links, no cookie share (Crawl.hs:156-162)
+            # A5: shareCookies(responseCookies \\ cookiesSent) — only now,
+            # include-passed (Crawl.hs:159); first setter wins attribution
+            for c in new_cookies:
+                self.round_cookies.append((c, final))
             # D4: mark every chain member completed (Crawl.hs:173-174)
             for u in chain:
                 self.completed.add(u)

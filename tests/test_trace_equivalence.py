@@ -274,7 +274,10 @@ def test_chain_local_cookie_unlocks_gated_page(spark, tmp_state):
     """Cookie threading WITHIN one interaction chain (src/Fetch.hs):
     A(form) → login result sets the session cookie → meta-refresh → gated
     page G succeeds in the SAME chain, before any round boundary. G is
-    stored attributed to A; the cookie still lands in session_state."""
+    stored attributed to A. The cookie does NOT enter the global jar:
+    sharing is storeResponse-only — responseCookies \\ cookiesSent of the
+    FINAL hop (src/Crawl.hs:157-163) — and the setter here is an
+    intermediate hop, so the cookie stays chain-local."""
     import json as _json
 
     import pandas as pd
@@ -319,5 +322,7 @@ def test_chain_local_cookie_unlocks_gated_page(spark, tmp_state):
     assert [d["final_url"] for d in sim_res.stored] == [gated]
     assert sim_res.url_seen.get(gated) == "completed"
     assert not any("Unauthorized" in e["message"] for e in sim_res.errors)
-    assert [r["cookie"] for r in sim_res.session_state] == ["sess-chain"]
+    # intermediate-hop cookie stays chain-local (Crawl.hs:159 shares only
+    # the final hop's responseCookies \\ cookiesSent)
+    assert [r["cookie"] for r in sim_res.session_state] == []
     assert_equivalent(spark, sim_res, run)
