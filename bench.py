@@ -32,7 +32,7 @@ BENCH_STATE = os.path.join(REPO, "_data", "benchstate")
 
 # benchweb shape: 400 hosts × 50 pages; per-host budget 25 → ~10k
 # scheduled URLs per full round
-WEB_KW = dict(n_docs=2_500_000, n_hosts=5000, links_per_doc=5, seed=42)
+WEB_KW = dict(n_docs=5_000_000, n_hosts=10_000, links_per_doc=5, seed=42)
 PER_HOST_BUDGET = 170
 N_ROUNDS = 3
 SHUFFLE_PARTITIONS = 64  # held constant across parallelism levels — on a
@@ -119,7 +119,10 @@ def crawl_bench(cpus: int) -> dict:
         )
         state = os.path.join(BENCH_STATE, f"cpus{cpus}")
         shutil.rmtree(state, ignore_errors=True)
-        run = CrawlRun(spark, cfg, state, documents, redirects, robots)
+        # distributed bloom merge: the cluster path (executor-side bucket
+        # rebuilds) — scales with cores instead of a fixed driver-side cost
+        run = CrawlRun(spark, cfg, state, documents, redirects, robots,
+                       distributed_bloom_merge=True)
         t0 = time.time()
         run.seed_df(seeds_df)
         run.run(max_rounds=N_ROUNDS)
@@ -127,6 +130,9 @@ def crawl_bench(cpus: int) -> dict:
         from pyspark.sql import functions as F  # noqa: F401
 
         n_scheduled = run.catalog.scheduled.read(spark).count()
+        if run.timings_history:
+            for t in run.timings_history:
+                print(f"TIMING cpus={cpus} {t}")
         return {
             "cpus": cpus,
             "rounds": run.round,

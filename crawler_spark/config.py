@@ -37,10 +37,13 @@ class CrawlConfig:
     max_rounds: int = 1000
     # robots evaluation is a north_rule addition (absent in reference)
     respect_robots: bool = True
-    # S6 (-p addr:port, src/Initialisation.hs:121-136): carried in the run
-    # config; fetch-simulate ignores it, a real HTTP fetch stage passes it
-    # to its client — same slot, same semantics
+    # S6 (-p addr:port, src/Initialisation.hs:121-136): fetch-simulate
+    # ignores it; the real-socket stage (plans/fetch_http.py) routes every
+    # request through it — http-client addProxy semantics
     proxy: str | None = None
+    # src/Settings.hs:14-15 (reference default True); consumed by the
+    # real-socket stage's TLS context, ignored by fetch-simulate
+    ignore_bad_https_certs: bool = True
     # interaction hops > 0 carry only the rows that branched; when that
     # count (known exactly from the hop accumulator) is at most this, the
     # fetch join switches to a point-lookup path: collect the keys and

@@ -59,6 +59,10 @@ class _Stager:
         self.futures[name] = fut
         return table.read_dir(self.spark, target)
 
+    def staged_count(self, name: str) -> int:
+        """Row count of an already-materialized staged write."""
+        return self.futures[name].result()[1]
+
     def wait(self) -> dict[str, tuple[str, int]]:
         return {name: f.result() for name, f in self.futures.items()}
 
@@ -77,6 +81,7 @@ class CrawlRun:
         use_bloom: bool = True,
         bloom_buckets: int = 32,
         distributed_bloom_merge: bool = False,
+        http_fetch: bool = False,
     ):
         self.spark = spark
         self.config = config
@@ -88,7 +93,16 @@ class CrawlRun:
         # batch side broadcasts; the web-scale side never shuffles).
         # The closure is checkpointed because rebuilding the iterative
         # pointer-doubling plan on every scan would re-run its whole loop.
-        closure = build_redirect_closure(redirects, config.max_redirects).localCheckpoint()
+        # S9 real path: fetch over real sockets (plans/fetch_http.py) —
+        # documents/redirects/closure go unused; the web is whatever the
+        # network (or config.proxy) serves
+        if http_fetch:
+            closure = build_redirect_closure(
+                spark.createDataFrame([], "src_url string, dst_url string"),
+                config.max_redirects,
+            )
+        else:
+            closure = build_redirect_closure(redirects, config.max_redirects).localCheckpoint()
         self.ctx = RoundContext(
             spark=spark,
             config=config,
@@ -98,6 +112,7 @@ class CrawlRun:
             directions=list(directions or []),
             form_instructions=list(form_instructions or []),
             bloom=bloom,
+            http_fetch=http_fetch,
         )
         self.run_id = "run"
         # driver-held round state, restored from the runs table on resume
@@ -105,6 +120,7 @@ class CrawlRun:
         self.next_seq = 0
         self.stored_total = 0
         self.timings: dict = {}
+        self.timings_history: list[dict] = []
         # cluster path: per-bucket bitmap rebuild executor-side
         # (bloom.merge_dir_distributed); driver-side merge of the round
         # delta is faster in local mode and byte-identical
@@ -248,6 +264,7 @@ class CrawlRun:
         if timings is not None:
             timings["commit"] = round(time.time() - t0, 2)
             self.timings = timings
+            self.timings_history.append(dict(timings, round=round_))
         return True
 
     def lineage_report(self) -> dict:

@@ -18,12 +18,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def global_rank(df: DataFrame, order_cols: list[str], out_col: str, start: int = 1) -> DataFrame:
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str,
+    start: int = 1,
+    materialize_input: bool = False,
+) -> DataFrame:
     """Append `out_col` = 1-based global rank by `order_cols` (+start-1).
 
     The order key must be unique per row (ours always ends in `seq` or an
     extraction-order tiebreak), so the ranking is total and deterministic.
+
+    materialize_input: repartitionByRange runs a SAMPLING job over its
+    child before the shuffle, so an expensive upstream plan (the
+    scheduler's anti-join + windows, the admission pipeline) executes
+    twice per rank. Passing True checkpoints the input once so both the
+    sample and the shuffle read memory. Leave False when the input is
+    already materialized or carries wide payload columns (spans) whose
+    duplication in block-manager memory would cost more than the
+    recompute.
     """
+    if materialize_input:
+        df = df.localCheckpoint()
     # materialize the range partitioning ONCE: the offsets aggregation and
     # the final join both consume `part`, and without this barrier each
     # would re-execute the range shuffle — AQE may then coalesce the two

@@ -50,6 +50,9 @@ class RoundContext:
     # captured into the decide closure — the broadcast of a config-scale
     # set, like the reference's TVar [Cookie], src/Types.hs:32)
     cookie_jar: frozenset = frozenset()
+    # S9 real path: fetch over real sockets (plans/fetch_http.py) instead
+    # of the fetch-simulate joins; documents/closure go unused
+    http_fetch: bool = False
 
 
 def _err(df: DataFrame, kind: str, url_col, message_col, round_: int) -> DataFrame:
@@ -101,7 +104,9 @@ def schedule(pending: DataFrame, ctx: RoundContext) -> DataFrame:
         .where(F.col("_r2") <= F.col("budget"))
         .drop("_r1", "_r2", "budget", "crawl_delay", "status", "discovered_round")
     )
-    return global_rank(admitted, ["priority", "seq"], "rank")
+    # materialize_input: the anti-join + double window above would
+    # otherwise run twice (range-partitioner sampling pass + shuffle)
+    return global_rank(admitted, ["priority", "seq"], "rank", materialize_input=True)
 
 
 def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContext, round_: int):
@@ -153,6 +158,34 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
     # the whole web.
     state_size: int | None = None  # exact from the accumulator for hops > 0
     for _hop in range(cfg.max_interaction_hops + 1):
+        if ctx.http_fetch:
+            # real-socket path: one mapInPandas stage replaces both web-table
+            # joins; schema-identical output feeds the same decide stage
+            from crawler_spark.plans.fetch_http import HTTP_FETCH_SCHEMA, make_http_fetch
+
+            fetched = state.mapInPandas(
+                make_http_fetch(cfg, ctx.cookie_jar), HTTP_FETCH_SCHEMA
+            )
+            acc_before = branch_acc.value
+            decisions = fetched.mapInPandas(decide, DECISION_SCHEMA).localCheckpoint()
+            decision_parts.append(decisions)
+            if branch_acc.value == acc_before:
+                break
+            state_size = branch_acc.value - acc_before
+            meta_ok = (
+                decisions.where("decision = 'meta'")
+                .join(gate_urls.withColumnRenamed("url", "next_url"), "next_url", "left_anti")
+                .select(*decisions.columns)
+            )
+            hopped = decisions.where("decision in ('direction', 'form')").unionByName(meta_ok)
+            state = hopped.select(
+                "scheduled_url",
+                "rank",
+                F.col("next_url").alias("current_url"),
+                (F.col("hops") + 1).alias("hops"),
+                "chain_cookies",
+            )
+            continue
         point_lookup = (
             state_size is not None
             and cfg.point_lookup_threshold > 0
@@ -309,7 +342,9 @@ def admit_candidates(
         F.min(F.struct("ord_rank", "ord_sub", "host", "prio")).alias("k")
     ).select("url", F.col("k.ord_rank").alias("ord_rank"), F.col("k.ord_sub").alias("ord_sub"), F.col("k.host").alias("host"), F.col("k.prio").alias("prio"))
 
-    ranked = global_rank(deduped, ["ord_rank", "ord_sub"], "_d")
+    # materialize_input: the bloom prefilter + admission joins + dedup agg
+    # above would otherwise run twice (range sampling pass + shuffle)
+    ranked = global_rank(deduped, ["ord_rank", "ord_sub"], "_d", materialize_input=True)
     frontier_append = ranked.select(
         "url",
         F.xxhash64("url").alias("url_hash"),
@@ -365,14 +400,21 @@ def run_round(
     def _submit(name: str, df: DataFrame) -> None:
         stager.submit(name, df)
 
-    pending = pending_frontier(frontier, scheduled).localCheckpoint()
-    admitted = schedule(pending, ctx).localCheckpoint()
-    if admitted.isEmpty():
-        return None
-    scheduled_append = admitted.select(
-        "seq", "url_hash", "url", F.lit(round_).alias("round"), "rank"
+    # The staged `scheduled` write IS the admitted batch's materialization:
+    # one write job replaces the old pending/admitted localCheckpoint pair
+    # plus the isEmpty probe (3 job barriers per round). `pending` stays
+    # lazy — its anti-join recomputes fused inside the consumers' jobs
+    # (cheap narrow columns), and `scheduled` was read from the committed
+    # manifest at round start, so recomputation is stable against this
+    # round's uncommitted stage dir.
+    pending = pending_frontier(frontier, scheduled)
+    scheduled_append = schedule(pending, ctx).select(
+        "seq", "url_hash", "url", F.lit(round_).alias("round"), "rank",
+        F.col("priority").cast("int").alias("priority"),
     )
-    _submit("scheduled", scheduled_append)
+    admitted = _mat("scheduled", scheduled_append)
+    if stager.staged_count("scheduled") == 0:
+        return None
     _lap("schedule")
 
     # no distinct: the gate is only ever the right side of an anti-join,

@@ -130,6 +130,9 @@ SCHEDULED = StructType(
         StructField("url", StringType(), False),
         StructField("round", IntegerType(), False),
         StructField("rank", LongType(), False),  # global fetch rank within round
+        # admission priority rides along so the staged write doubles as the
+        # round's admitted-batch materialization (depth_priority needs it)
+        StructField("priority", IntegerType(), False),
     ]
 )
 

@@ -1,0 +1,81 @@
+"""In-process HTTP server serving a genweb synthetic web for the
+real-socket fetch stage (crawler_spark/plans/fetch_http.py).
+
+Runs as an HTTP *proxy*: the engine sets `config.proxy` to this server's
+address, so requests arrive carrying the absolute URL
+(`GET http://hostN.example.org/pX HTTP/1.1`) exactly as http-client's
+addProxy sends them (src/Request.hs:38-44) — no DNS tricks needed for
+the synthetic hostnames. Responses:
+
+- redirect source URL → 301 + Location (the engine follows manually);
+- document URL → 200 with the span list as JSON;
+- anything else → 404 (engine: "Fetch failed").
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class SyntheticWebServer:
+    def __init__(self, web: dict):
+        docs = {
+            r["doc_id"]: list(r["spans"]) for _, r in web["documents"].iterrows()
+        }
+        redirects = {
+            r["src_url"]: r["dst_url"] for _, r in web["redirects"].iterrows()
+        }
+        seen_headers: list[dict] = []  # (url, ua, cookie) per request, for assertions
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def do_GET(self):  # noqa: N802
+                url = self.path  # absolute-URI form (proxy request)
+                seen_headers.append(
+                    {
+                        "url": url,
+                        "user_agent": self.headers.get("User-Agent"),
+                        "cookie": self.headers.get("Cookie"),
+                    }
+                )
+                if url in redirects:
+                    self.send_response(301)
+                    self.send_header("Location", redirects[url])
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                spans = docs.get(url)
+                if spans is None:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                body = json.dumps(spans).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.requests = seen_headers
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+
+    @property
+    def proxy_addr(self) -> str:
+        host, port = self.server.server_address
+        return f"{host}:{port}"
+
+    def __enter__(self):
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()
