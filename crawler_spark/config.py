@@ -48,8 +48,17 @@ class CrawlConfig:
     # count (known exactly from the hop accumulator) is at most this, the
     # fetch join switches to a point-lookup path: collect the keys and
     # push an IN filter to the parquet scans (row-group skipping) instead
-    # of streaming the whole web again. 0 disables.
-    point_lookup_threshold: int = 5000
+    # of streaming the whole web again. 0 disables. Kept O(100): beyond
+    # that a broadcast semi-join beats a driver collect + giant IN
+    # literal (plan bloat), and branch hops are almost always tiny.
+    point_lookup_threshold: int = 256
+    # JVM fast path for the decide stage (plans/extract.py): rows with no
+    # interaction/cookie spans and all hrefs in the fast resolve language
+    # are decided entirely by Catalyst expressions — the span payload
+    # never crosses Arrow into Python. False = every row through the
+    # Python decide loop (the two paths are value-identical; the flag
+    # exists so the trace suite can prove it).
+    vectorized_extract: bool = True
     # priority propagation (engine addition; the reference has a single
     # FIFO). When True, a discovered link inherits priority = discovering
     # page's priority + 1 (BFS depth), and the scheduler's (priority, seq)

@@ -131,12 +131,41 @@ def merge_form_params(discovered: list[dict], supplied: list[tuple[str, str]]) -
     return sorted(m.items())
 
 
-def form_submit_url(action_url: str, params: list[tuple[str, str]]) -> str:
-    """The fetch-sim key for a submitted form. GET ⇒ query string appended
-    (DownloadRequest.hs:27-33); POST is modeled the same way so the
-    synthetic web can materialize the result page deterministically
-    (documented modeling choice — the reference sends a urlencoded body)."""
-    qs = "&".join(f"{k}={quote(v, safe='')}" for k, v in params)
+# POST fetch keys (DownloadRequest.hs:27-33): a POST sends the action URL
+# with an urlencoded BODY, so the URL that enters the redirect chain and
+# the completed set is the plain action URL — unlike GET's query string.
+# The fetch-sim models the request as `action\x00body` (NUL can never
+# appear in a canonical URL), looked up verbatim against the synthetic
+# web; everything user-visible strips the body part back off.
+POST_KEY_SEP = "\x00"
+
+
+def encode_params(params: list[tuple[str, str]]) -> str:
+    """The urlencoded pair list both GET query strings and POST bodies
+    use (urlEncodedBody / setQueryString share the same encoding)."""
+    return "&".join(f"{k}={quote(v, safe='')}" for k, v in params)
+
+
+def post_key(action_url: str, params: list[tuple[str, str]]) -> str:
+    return action_url + POST_KEY_SEP + encode_params(params)
+
+
+def strip_post_key(url: str | None) -> str | None:
+    """Request key → the URL the reference would record (chain head,
+    completed marks, store attribution = plain action URL for POST)."""
+    if url is None:
+        return None
+    i = url.find(POST_KEY_SEP)
+    return url if i < 0 else url[:i]
+
+
+def form_submit_url(action_url: str, params: list[tuple[str, str]], method: str = "GET") -> str:
+    """The fetch-sim request key for a submitted form
+    (DownloadRequest.hs:27-33): POST ⇒ urlencoded body riding behind the
+    NUL separator; anything else ⇒ query string appended."""
+    qs = encode_params(params)
+    if method.upper() == "POST":
+        return post_key(action_url, params)
     sep = "&" if "?" in action_url else "?"
     return action_url + sep + qs if qs else action_url
 
@@ -164,7 +193,7 @@ def select_form(final_url: str, spans, instructions) -> tuple[str | None, str | 
                 except KeyError as e:
                     errors.append(f"Trying to override non-existing key: {e.args[0]}")
                     break
-                return form_submit_url(target, params), inst.label, errors
+                return form_submit_url(target, params, form["method"]), inst.label, errors
     return None, None, errors
 
 

@@ -25,6 +25,24 @@ except ImportError:
     _HAVE_REAL_DECODER = False
 
 
+def capability_report() -> dict:
+    """What the media stack can actually do in this environment — so a
+    green media_* query is never mistaken for real decoding. Surfaced in
+    docs/driver output; the decode itself stays honestly stubbed until a
+    real decoder is present."""
+    return {
+        "real_decoder": _HAVE_REAL_DECODER,
+        "decode_backend": "PIL" if _HAVE_REAL_DECODER else "deterministic-stub",
+        "operations": {
+            "decode": "real" if _HAVE_REAL_DECODER else "stub (byte-derived metadata)",
+            "resize": "stub (arithmetic on stub dims)",
+            "features": "stub (byte-derived vector)",
+            "frame_sample": "stub (every-10th index)",
+        },
+        "plumbing": "real (binary column, Arrow-batched mapInPandas, typed schemas)",
+    }
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     """(n_bytes, width, height, n_frames) — deterministic in the bytes."""
     n = len(payload)

@@ -26,6 +26,7 @@ from urllib.parse import quote
 
 import pandas as pd
 
+from crawler_spark import crawl_logic as _cl
 from crawler_spark.config import FormInstruction, HrefDirection
 
 
@@ -203,10 +204,12 @@ def generate(
             form = {"method": "POST", "action": "/login", "inputs": inputs}
             spans.append(_span("form", text=json.dumps(form, sort_keys=True), offset=off))
             off += 1
-            # materialize the form-submission result page so fetch-sim hits it
+            # materialize the form-submission result page under the POST
+            # fetch key (action URL + NUL + urlencoded body — the form is
+            # method=POST, so the body never shows in the recorded URLs,
+            # matching DownloadRequest.hs:27-33)
             merged = {"user": "admin", "pass": "hunter2", "csrf": inputs[2]["value"]}
-            qs = "&".join(f"{k}={quote(str(v))}" for k, v in sorted(merged.items()))
-            submit_url = f"http://{h}/login?{qs}"
+            submit_url = _cl.post_key(f"http://{h}/login", sorted(merged.items()))
             if submit_url not in seen_extra:
                 seen_extra.add(submit_url)
                 # login response sets the host's session cookie (A5)

@@ -90,6 +90,7 @@ def make_http_fetch(config, cookie_jar: frozenset, max_workers: int = 32, timeou
     TVar before each fetch, src/Crawl.hs:108); chain-local cookies ride
     in on each row and are appended to the Cookie header.
     """
+    from crawler_spark import crawl_logic as cl
     from crawler_spark.functions.urls import canonicalize
 
     max_redirects = config.max_redirects
@@ -108,8 +109,22 @@ def make_http_fetch(config, cookie_jar: frozenset, max_workers: int = 32, timeou
         visited = [requested]
         current = requested
         hops_left = max_redirects
+        first = True
         while True:
-            req = urllib.request.Request(current, headers=headers, method="GET")
+            # POST fetch keys (action\x00body): send a real urlencoded body
+            # to the action URL — urlEncodedBody (DownloadRequest.hs:27-33);
+            # redirect hops after the first request are plain GETs
+            if first and cl.POST_KEY_SEP in current:
+                action, body = current.split(cl.POST_KEY_SEP, 1)
+                req = urllib.request.Request(
+                    action,
+                    data=body.encode(),
+                    headers={**headers, "Content-Type": "application/x-www-form-urlencoded"},
+                    method="POST",
+                )
+            else:
+                req = urllib.request.Request(current, headers=headers, method="GET")
+            first = False
             try:
                 resp = opener.open(req, timeout=timeout)
             except urllib.error.HTTPError as e:

@@ -94,18 +94,22 @@ def make_decide(config, directions, form_instructions, branch_acc=None, cookie_j
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                visited = list(row.visited)
+                # POST fetch keys carry the urlencoded body behind a NUL
+                # (DownloadRequest.hs:27-33); the doc lookup already used
+                # the full key — everything from here on (chains, marks,
+                # errors, store attribution) sees the plain action URL
+                visited = [cl.strip_post_key(u) for u in row.visited]
                 errors: list[dict] = []
                 # A1 failure dispositions first (simulator order)
                 if row.aborted:
                     errors.append(
                         {"kind": "CrawlError", "url": row.scheduled_url,
-                         "message": f"Too many redirects from {row.current_url}"}
+                         "message": f"Too many redirects from {cl.strip_post_key(row.current_url)}"}
                     )
                     out.append((row.rank, row.scheduled_url, None, "failed", None,
                                 row.hops, visited, None, None, errors, None, None))
                     continue
-                final = row.final
+                final = cl.strip_post_key(row.final)
                 if row.spans is None or isinstance(row.spans, float):  # null → None/NaN
                     errors.append(
                         {"kind": "CrawlError", "url": row.scheduled_url,

@@ -229,7 +229,27 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
             )
         )
         acc_before = branch_acc.value
-        decisions = fetched.mapInPandas(decide, DECISION_SCHEMA).localCheckpoint()
+        if _hop == 0 and cfg.vectorized_extract:
+            # JVM fast path (plans/extract.py): the fetch join is
+            # materialized once, then split — plain rows are decided by
+            # Catalyst expressions (spans never cross Arrow), only
+            # branch-capable/failed/slow-href rows run the Python loop.
+            # One extra checkpoint job per round buys the decide stage
+            # out of Python for the common case; later hops are tiny
+            # (point-lookup scale) and branch-heavy by construction, so
+            # they keep the single Python stage.
+            from crawler_spark.plans.extract import plain_decisions, route_python_col
+
+            fetched = fetched.localCheckpoint()
+            route = route_python_col(ctx.directions)
+            decisions = (
+                fetched.where(route)
+                .mapInPandas(decide, DECISION_SCHEMA)
+                .unionByName(plain_decisions(fetched.where(~route), cfg))
+                .localCheckpoint()
+            )
+        else:
+            decisions = fetched.mapInPandas(decide, DECISION_SCHEMA).localCheckpoint()
         decision_parts.append(decisions)
         if branch_acc.value == acc_before:
             break

@@ -258,9 +258,28 @@ ORACLE_SIMHASH_PAIRS = f"""
 # (blocking join on shingle — candidates share ≥1 shingle, never all-pairs)
 # ---------------------------------------------------------------------------
 
+NGRAM_MAX_DF = 50  # stop-shingle document-frequency cap
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    sh = _doc_shingles(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    """Shared-shingle blocking join with a stop-shingle frequency cap:
+    shingles appearing in more than NGRAM_MAX_DF docs are dropped from
+    the shingle sets entirely (both candidate generation and the jaccard
+    arithmetic) — one viral shingle would otherwise turn the blocking
+    join into a quadratic hot key at corpus scale (standard stop-word
+    practice for MinHash/shingling pipelines)."""
+    sh = _doc_shingles(spark, sf_dir)
+    ex0 = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    # shingles are distinct per doc, so count(*) per shingle = doc freq
+    ok = (
+        ex0.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= NGRAM_MAX_DF)
+        .select("sh")
+    )
+    ex1 = ex0.join(ok, "sh")
+    sizes = ex1.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ex = ex1.join(sizes, "doc_id")
     left = ex.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "sh")
     right = ex.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "sh")
     inter = (
@@ -282,9 +301,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 ORACLE_DEDUP_NGRAM_JACCARD = f"""
     WITH sh AS (
-      SELECT doc_id, shingles, len(shingles) AS n_sh FROM ({_DOC_SHINGLES_SQL})
+      SELECT doc_id, shingles FROM ({_DOC_SHINGLES_SQL})
     ),
-    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM sh),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ok AS (
+      SELECT s FROM (SELECT s, count(*) AS df FROM ex0 GROUP BY s)
+      WHERE df <= {NGRAM_MAX_DF}
+    ),
+    ex1 AS (SELECT e.doc_id, e.s FROM ex0 e JOIN ok USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex1 GROUP BY doc_id),
+    ex AS (SELECT e.doc_id, e.s, z.n_sh FROM ex1 e JOIN sizes z USING (doc_id)),
     inter AS (
       SELECT l.doc_id AS a, r.doc_id AS b, l.n_sh AS na, r.n_sh AS nb,
              count(*) AS n_inter
@@ -314,8 +340,21 @@ _COSINE = (
 )
 
 
+EMBED_GROUP_CAP = 256  # per-label candidate-group bound
+
+
 def q_embedding_neardup(spark, sf_dir):
+    """Same-label blocking with a per-label group cap: only the
+    EMBED_GROUP_CAP lowest vec_ids of each label enter the pair join, so
+    one mega-label can't go quadratic at corpus scale (the scale path
+    for larger-than-cap labels is LSH-within-label — ann_lsh below)."""
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5000)
+    w_cap = Window.partitionBy("label").orderBy("vec_id")
+    e = (
+        e.withColumn("_gr", F.row_number().over(w_cap))
+        .where(F.col("_gr") <= EMBED_GROUP_CAP)
+        .drop("_gr")
+    )
     a = e.select(F.col("vec_id").alias("a"), F.col("label").alias("label"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("b"), F.col("label").alias("label"), F.col("embedding").alias("vb"))
     pairs = a.join(b, "label").where(F.col("a") < F.col("b"))
@@ -326,9 +365,13 @@ def q_embedding_neardup(spark, sf_dir):
     return sims.where(F.col("cos_micro") >= 350000).select("a", "b", "cos_micro").orderBy("a", "b")
 
 
-ORACLE_EMBEDDING_NEARDUP = """
+ORACLE_EMBEDDING_NEARDUP = f"""
     WITH e AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5000
+      SELECT vec_id, label, v FROM (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS _gr
+        FROM embeddings WHERE vec_id < 5000
+      ) WHERE _gr <= {EMBED_GROUP_CAP}
     )
     SELECT l.vec_id AS a, r.vec_id AS b,
            CAST(floor(1000000 * list_dot_product(l.v, r.v) /

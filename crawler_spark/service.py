@@ -8,8 +8,15 @@ choosing) calls between rounds:
 
   queue_size      ≡ GET /queueSize/UrlQueue   (src/Service.hs:58-63)
   run_status      ≡ GET /status               (src/Service.hs:47-51)
+  worker_status   ≡ GET /workerStatus         (src/Service.hs:53-56) —
+                    Spark's executor/task view replaces thread states
   add_urls        ≡ POST /addUrl              (src/Service.hs:65-74) —
                     canonicalize + admission into the NEXT round
+  add_url_include_pattern
+                  ≡ POST /addUrlIncludePattern (src/Service.hs:76-77) —
+                    the pattern set grows for every FOLLOWING round (the
+                    reference's TVar insert takes effect on the next
+                    worker iteration; ours at the next round boundary)
   request_stop /  ≡ POST /stop                (src/Service.hs:79-80) —
   stop_requested    flag-file FSM (RunningStatus → HaltingStatus)
 """
@@ -75,6 +82,46 @@ def add_urls(run: CrawlRun, urls: list[str]) -> int:
     n = run.catalog.frontier.append(fa, run.round - 1)
     run.next_seq += n
     return n
+
+
+def add_url_include_pattern(run: CrawlRun, pattern: str) -> None:
+    """POST /addUrlIncludePattern parity (src/Service.hs:76-77): insert
+    into the URL include-pattern set; rounds run after this call admit
+    URLs matching the new pattern (config is round-scoped, not frozen —
+    the run-checkpoint keeps the ORIGINAL config, mirroring the reference
+    where runtime TVar inserts are likewise not persisted)."""
+    import dataclasses
+
+    cfg = run.ctx.config
+    if pattern in cfg.url_include_patterns:
+        return
+    new = dataclasses.replace(
+        cfg, url_include_patterns=tuple(cfg.url_include_patterns) + (pattern,)
+    )
+    run.ctx.config = new
+    run.config = new
+
+
+def worker_status(run: CrawlRun, spark: SparkSession) -> dict:
+    """GET /workerStatus parity (src/Service.hs:53-56): the reference
+    reports per-thread states; the Spark analog is the executor/task
+    view — active jobs/stages from the status tracker plus the last
+    round's per-stage timings and counters."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    metrics_rows = [
+        (r["round"], r["name"], r["value"])
+        for r in run.catalog.metrics.read(spark).orderBy("round", "name").collect()
+    ]
+    return {
+        "parallelism": sc.defaultParallelism,
+        "active_jobs": list(tracker.getActiveJobsIds()),
+        "active_stages": list(tracker.getActiveStageIds()),
+        "rounds_run": run.round,
+        "stored_total": run.stored_total,
+        "last_round_timings": dict(run.timings),
+        "metrics": metrics_rows,
+    }
 
 
 def _stop_flag(run: CrawlRun) -> str:

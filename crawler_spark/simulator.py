@@ -37,6 +37,15 @@ from crawler_spark.config import CrawlConfig
 from crawler_spark.functions.urls import canonicalize, resolve
 
 
+def _nub(xs: list[str]) -> list[str]:
+    """Order-preserving dedup (Haskell nub)."""
+    out: list[str] = []
+    for x in xs:
+        if x not in out:
+            out.append(x)
+    return out
+
+
 @dataclass
 class SimResult:
     fetch_order: list[tuple[int, int, str]] = field(default_factory=list)  # (round, rank, url)
@@ -166,11 +175,19 @@ class Simulator:
         chain_cookies: set[str] = set()
         while True:
             chain, visited = self._follow_redirects(current)
+            # POST fetch keys carry the urlencoded body behind a NUL
+            # (DownloadRequest.hs:27-33); the doc lookup uses the full key,
+            # but everything recorded (chains, marks, errors) sees the
+            # plain action URL — mirror of the decide stage's strip
+            final_key = chain[0] if chain is not None else None
+            visited = _nub([cl.strip_post_key(u) for u in visited])
             if chain is None:
-                self._error("CrawlError", scheduled_url, f"Too many redirects from {current}", round_)
+                self._error("CrawlError", scheduled_url,
+                            f"Too many redirects from {cl.strip_post_key(current)}", round_)
                 return ("failed", visited)
+            chain = _nub([cl.strip_post_key(u) for u in chain])
             final = chain[0]
-            spans = self.documents.get(final)
+            spans = self.documents.get(final_key)
             if spans is None:
                 self._error("CrawlError", scheduled_url, f"Fetch failed: {final}", round_)
                 return ("failed", visited)

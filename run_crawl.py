@@ -16,8 +16,16 @@ Config JSON:
   "href_directions_file": "...",              (S5: -df, reference format)
   "crawl_limit": 1000,                        (S7: -l)
   "per_host_budget": 1, "max_rounds": 100, "resume": false,
-  "warc_out": ".../warc"                      (S8/S11: -wf, optional export)
+  "warc_out": ".../warc",                     (S8/S11: -wf, optional export)
+  "http_fetch": false,                        (S9 real path: real sockets)
+  "proxy": "addr:port",                       (S6: -p; real path only)
+  "ignore_bad_https_certs": true              (Settings.hs:14-15)
 }
+
+With "http_fetch": true the documents/redirects tables are not read —
+the crawl fetches over the network (optionally through "proxy") via
+crawler_spark/plans/fetch_http.py; bodies must be span-document JSON
+(production: put an HTML→spans converter at the marked seam).
 """
 
 from __future__ import annotations
@@ -58,6 +66,7 @@ def main() -> None:
         with open(conf["form_instructions_file"]) as f:
             forms = parse_form_instructions(f.read())
 
+    http_fetch = bool(conf.get("http_fetch", False))
     cfg = CrawlConfig(
         seeds=tuple(seeds),
         url_include_patterns=tuple(conf.get("url_include_patterns", [])),
@@ -66,19 +75,22 @@ def main() -> None:
         per_host_budget=int(conf.get("per_host_budget", 1)),
         max_rounds=int(conf.get("max_rounds", 1000)),
         respect_robots=bool(conf.get("respect_robots", True)),
+        proxy=conf.get("proxy"),
+        ignore_bad_https_certs=bool(conf.get("ignore_bad_https_certs", True)),
     )
 
-    documents = spark.read.parquet(conf["documents"])
-    redirects = (
-        spark.read.parquet(conf["redirects"])
-        if conf.get("redirects")
-        else spark.createDataFrame([], "src_url string, dst_url string, status_code int")
-    )
+    empty_redirects = spark.createDataFrame([], "src_url string, dst_url string, status_code int")
+    if http_fetch:
+        documents = spark.createDataFrame([], "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+        redirects = empty_redirects
+    else:
+        documents = spark.read.parquet(conf["documents"])
+        redirects = spark.read.parquet(conf["redirects"]) if conf.get("redirects") else empty_redirects
     robots = spark.read.parquet(conf["robots_rules"]) if conf.get("robots_rules") else None
 
     run = CrawlRun(
         spark, cfg, conf["state_dir"], documents, redirects, robots,
-        directions=directions, form_instructions=forms,
+        directions=directions, form_instructions=forms, http_fetch=http_fetch,
     )
     if conf.get("resume"):
         r = run.resume()

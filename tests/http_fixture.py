@@ -60,6 +60,33 @@ class SyntheticWebServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def do_POST(self):  # noqa: N802 — form submissions
+                # reconstruct the POST fetch key (action\x00body) the
+                # synthetic web stores result pages under
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n).decode()
+                key = self.path + "\x00" + body
+                seen_headers.append(
+                    {
+                        "url": key,
+                        "user_agent": self.headers.get("User-Agent"),
+                        "cookie": self.headers.get("Cookie"),
+                        "method": "POST",
+                    }
+                )
+                spans = docs.get(key)
+                if spans is None:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                out = json.dumps(spans).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
             def log_message(self, *a):  # quiet
                 pass
 

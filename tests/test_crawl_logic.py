@@ -73,11 +73,27 @@ def test_form_override_missing_key_raises():
 def test_select_form_first_form_first_instruction():
     import json
 
+    # POST ⇒ urlencoded BODY behind the NUL separator, action URL plain
+    # (DownloadRequest.hs:27-33 urlEncodedBody)
     f1 = json.dumps({"method": "POST", "action": "/login", "inputs": [{"key": "u", "value": ""}]})
     spans = [span("form", text=f1, offset=0)]
     inst = [FormInstruction("l", url_regex="/p", form_action_regex="/login$", params=(("u", "me"),))]
     url, label, errs = cl.select_form("http://h/p1", spans, inst)
+    assert url == "http://h/login\x00u=me"
+    assert cl.strip_post_key(url) == "http://h/login"
+    assert label == "l" and errs == []
+
+
+def test_select_form_get_query_string():
+    import json
+
+    # GET ⇒ setQueryString semantics: params land in the URL itself
+    f1 = json.dumps({"method": "GET", "action": "/login", "inputs": [{"key": "u", "value": ""}]})
+    spans = [span("form", text=f1, offset=0)]
+    inst = [FormInstruction("l", url_regex="/p", form_action_regex="/login$", params=(("u", "me"),))]
+    url, label, errs = cl.select_form("http://h/p1", spans, inst)
     assert url == "http://h/login?u=me"
+    assert cl.strip_post_key(url) == url
     assert label == "l" and errs == []
 
 

@@ -115,3 +115,105 @@ def test_simhash_near_dup_property(spark):
     ham_far = bin(sig[0] ^ sig[2]).count("1")
     assert ham_near < ham_far
     assert ham_near <= 8
+
+
+def _tmpdir():
+    import os
+    import tempfile
+
+    return tempfile.mkdtemp(dir="/root/repo/_data" if os.path.isdir("/root/repo/_data") else None)
+
+
+def _oracle_rows(d, name):
+    """Run the query's DuckDB oracle over a tmp table dir."""
+    import os
+
+    import duckdb
+
+    from crawler_spark.queries.pipeline_ops import ORACLES
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        p = os.path.join(d, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """Planted hot key: one viral shingle shared by every doc must NOT
+    create quadratic candidate pairs (df cap drops it); a genuine
+    near-dup pair sharing ordinary shingles still comes through. Oracle
+    stays value-exact under the same capped semantics."""
+    import os
+
+    import pandas as pd
+
+    from crawler_spark.queries.pipeline_ops import NGRAM_MAX_DF, q_dedup_ngram_jaccard
+
+    n_viral = NGRAM_MAX_DF + 10  # viral shingle df > cap
+    rows = [
+        {"doc_id": i, "text": f"click here now unique{i} filler{i} words{i} end{i}"}
+        for i in range(n_viral)
+    ]
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through "
+        "the quiet field towards the old stone bridge near the river bank"
+    )
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base.replace("quiet", "silent")})
+    pdf = pd.DataFrame(rows)
+    pdf["lang"] = "en"
+    pdf["source"] = "s"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = _tmpdir()
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+
+    got = [(r["a"], r["b"], r["jaccard_micro"]) for r in q_dedup_ngram_jaccard(spark, d).collect()]
+    pairs = {(a, b) for a, b, _ in got}
+    assert (100, 101) in pairs  # the real near-dup survives
+    # no viral-only pair: the shared "click here now" shingle is capped out
+    assert all(a >= 100 for a, b in pairs)
+    assert sorted((a, b, j) for a, b, j in got) == _oracle_rows(d, "dedup_ngram_jaccard")
+
+
+def test_embedding_neardup_group_cap(spark):
+    """Planted mega-label: identical vectors beyond the per-label cap are
+    excluded from the pair join (bounded candidates), identical vectors
+    inside the cap are found; oracle mirrors the capped semantics."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from crawler_spark.queries.pipeline_ops import EMBED_GROUP_CAP, q_embedding_neardup
+
+    rng = np.random.RandomState(0)
+    n = EMBED_GROUP_CAP + 400  # one label, larger than the cap
+    vecs = rng.normal(size=(n, 8)).astype("float32")
+    vecs[11] = vecs[10]  # duplicate inside the cap
+    vecs[n - 2] = vecs[n - 1]  # duplicate beyond the cap (rank > CAP)
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [v.tolist() for v in vecs], "label": [0] * n}
+    )
+    d = _tmpdir()
+    pdf.to_parquet(os.path.join(d, "embeddings.parquet"))
+
+    got = [(r["a"], r["b"], r["cos_micro"]) for r in q_embedding_neardup(spark, d).collect()]
+    pairs = {(a, b) for a, b, _ in got}
+    assert (10, 11) in pairs  # in-cap duplicate found
+    assert (n - 2, n - 1) not in pairs  # beyond-cap rows never enter the join
+    assert all(a < EMBED_GROUP_CAP and b < EMBED_GROUP_CAP for a, b in pairs)
+    assert sorted(got) == _oracle_rows(d, "embedding_neardup")
+
+
+def test_media_capability_report():
+    """The media stack must declare honestly whether decoding is real —
+    a green media_* oracle row only certifies the plumbing otherwise."""
+    from crawler_spark.functions.media import _HAVE_REAL_DECODER, capability_report
+
+    rep = capability_report()
+    assert rep["real_decoder"] == _HAVE_REAL_DECODER
+    assert set(rep["operations"]) == {"decode", "resize", "features", "frame_sample"}
+    if not rep["real_decoder"]:
+        assert "stub" in rep["operations"]["decode"]

@@ -87,13 +87,22 @@ def assert_equivalent(spark, sim_res, run):
     assert eng_session == sim_session
 
 
-@pytest.mark.parametrize("use_bloom", [True, False])
-def test_basic_crawl_equivalence(spark, tmp_state, use_bloom):
+@pytest.mark.parametrize(
+    "use_bloom,vectorized_extract",
+    [(True, True), (False, True), (True, False)],
+    ids=["bloom", "nobloom", "python-decide"],
+)
+def test_basic_crawl_equivalence(spark, tmp_state, use_bloom, vectorized_extract):
+    """vectorized_extract=False forces every row through the Python
+    decide loop — the same web + seeds through both paths must match the
+    simulator identically, locking the JVM fast path (plans/extract.py)
+    end-to-end on top of test_extract_parity's row-level check."""
     web = generate(n_docs=60, n_hosts=8, seed=7, n_redirects=6, long_chain=True)
     config = CrawlConfig(
         seeds=tuple(web["seeds"]["url"]),
         domain_include_patterns=("example.org",),
         per_host_budget=2,
+        vectorized_extract=vectorized_extract,
     )
     sim, sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=6, use_bloom=use_bloom)
     assert len(sim_res.fetch_order) > 10  # the web actually got crawled
@@ -286,7 +295,12 @@ def test_chain_local_cookie_unlocks_gated_page(spark, tmp_state):
 
     host = "chain.example.org"
     a = f"http://{host}/p0"
-    submit = f"http://{host}/login?pass=hunter2&user=admin"
+    # POST fetch key: action URL + NUL + urlencoded body (sorted params)
+    from crawler_spark import crawl_logic as cl
+
+    submit = cl.post_key(
+        f"http://{host}/login", [("pass", "hunter2"), ("user", "admin")]
+    )
     gated = f"http://{host}/members"
 
     def sp(kind, text=None, media_ref=None, offset=0):
