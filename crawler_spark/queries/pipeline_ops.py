@@ -17,7 +17,14 @@ from pyspark.sql import functions as F
 
 N_MINHASH = 16
 N_BANDS = 8  # rows-per-band = 2
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60  # fits _hash60's positive-bigint range on both engines
+SIMHASH_MAX_HAM = 6
+# pigeonhole banding for the pairs query: SIMHASH_MAX_HAM + 1 disjoint
+# bit-bands — any pair within the distance agrees exactly on ≥ 1 band,
+# so band equi-joins are a LOSSLESS replacement for the all-pairs filter
+_SIMHASH_BAND_WIDTHS = (9, 9, 9, 9, 8, 8, 8)  # sums to SIMHASH_BITS
+assert sum(_SIMHASH_BAND_WIDTHS) == SIMHASH_BITS
+assert len(_SIMHASH_BAND_WIDTHS) == SIMHASH_MAX_HAM + 1
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -230,16 +237,42 @@ ORACLE_SIMHASH = f"""
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """Near-dup pairs at hamming distance ≤ 6 among a bounded id range
-    (all-pairs only within the bound; the scale path blocks by simhash
-    prefix instead — see tests/test_pipeline_ops.py)."""
-    sig = q_simhash(spark, sf_dir).where(F.col("doc_id") < 300)
-    a = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
-    b = sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
-    pairs = a.join(b, F.col("a") < F.col("b")).withColumn(
-        "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    """Near-dup pairs at hamming ≤ SIMHASH_MAX_HAM over the WHOLE corpus
+    via pigeonhole banding: the 60-bit signature splits into 7 disjoint
+    bands, any in-distance pair agrees exactly on ≥ 1 band, so
+    candidates come from 7 equi-joins on (band, band_value) — never
+    all-pairs — then the exact hamming filter verifies. Lossless: the
+    result is identical to the quadratic filter (the DuckDB oracle runs
+    that shape). Scale note: band width is the blocking strength knob —
+    wider signatures (e.g. 64-bit hashes, 4×16-bit bands) or a
+    hot-band-value frequency cap handle templated corpora whose band
+    values collide heavily."""
+    sig = q_simhash(spark, sf_dir)
+    offs = [sum(_SIMHASH_BAND_WIDTHS[:i]) for i in range(len(_SIMHASH_BAND_WIDTHS))]
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.expr(f"(simhash >> {o}) & {(1 << w) - 1}").alias("val"),
+        )
+        for i, (o, w) in enumerate(zip(offs, _SIMHASH_BAND_WIDTHS))
+    ])
+    ex = sig.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
     )
-    return pairs.where(F.col("hamming") <= 6).select("a", "b", "hamming").orderBy("a", "b")
+    left = ex.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "band", "val")
+    right = ex.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "band", "val")
+    cand = (
+        left.join(right, ["band", "val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()  # a pair may agree on several bands
+    )
+    pairs = cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+    return (
+        pairs.where(F.col("hamming") <= SIMHASH_MAX_HAM)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    )
 
 
 ORACLE_SIMHASH_PAIRS = f"""
@@ -247,8 +280,7 @@ ORACLE_SIMHASH_PAIRS = f"""
     SELECT l.doc_id AS a, r.doc_id AS b,
            CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
     FROM sig l JOIN sig r ON l.doc_id < r.doc_id
-    WHERE l.doc_id < 300 AND r.doc_id < 300
-      AND bit_count(xor(l.simhash, r.simhash)) <= 6
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= {SIMHASH_MAX_HAM}
     ORDER BY a, b
 """
 
