@@ -121,6 +121,11 @@ class CrawlRun:
         self.stored_total = 0
         self.timings: dict = {}
         self.timings_history: list[dict] = []
+        # serializes the round loop against control-surface mutations
+        # (service_http listener thread — the STM-atomicity analog)
+        import threading
+
+        self.control_lock = threading.RLock()
         # cluster path: per-bucket bitmap rebuild executor-side
         # (bloom.merge_dir_distributed); driver-side merge of the round
         # delta is faster in local mode and byte-identical
@@ -213,6 +218,10 @@ class CrawlRun:
         return ran
 
     def run_one_round(self) -> bool:
+        with self.control_lock:
+            return self._run_one_round_locked()
+
+    def _run_one_round_locked(self) -> bool:
         import time
 
         spark, cat, round_ = self.spark, self.catalog, self.round

@@ -87,3 +87,68 @@ def test_worker_status(spark, tmp_state):
     assert ws["stored_total"] == 3  # a0, a1, b1
     # per-round counters made it into the metrics view
     assert any(name == "stored" for (_, name, _) in ws["metrics"])
+
+
+def test_http_control_listener(spark, tmp_state):
+    """The warp analog (service_http.ControlServer, src/Service.hs:28-83):
+    all six endpoints over real sockets against a live run — status,
+    queueSize, workerStatus, addUrl (incl. the err400 body for garbage),
+    addUrlIncludePattern taking effect next round, and stop halting the
+    loop at the boundary."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from crawler_spark.service_http import ControlServer
+
+    h = "http://h.example.org"
+    web = _web()
+    docs, redirects, robots = web_to_spark(spark, web)
+    cfg = CrawlConfig(seeds=(f"{h}/a0",), url_include_patterns=("/a",), per_host_budget=4)
+    run = CrawlRun(spark, cfg, tmp_state, docs, redirects, robots, bloom_buckets=4)
+    run.seed(list(cfg.seeds))
+    run.run(max_rounds=1)
+
+    srv = ControlServer(run, port=0).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=30) as r:
+            return _json.loads(r.read())
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path, data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return _json.loads(r.read() or b"null")
+
+    try:
+        st = get("/status")
+        assert st["round"] == run.round - 1 and st["status"] in ("running", "ok", "committed")
+        assert isinstance(get("/queueSize/UrlQueue"), int)
+        assert get("/queueSize/StoreQueue") == 0
+        ws = get("/workerStatus")
+        assert isinstance(ws, list) and any(l.startswith("parallelism=") for l in ws)
+
+        # err400 parity for garbage URLs (Service.hs:70-72)
+        try:
+            post("/addUrl", "not a url ::: nope")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert e.read().startswith(b"Could not understand url:")
+
+        # runtime include pattern + added URL crawled in following rounds
+        post("/addUrlIncludePattern", "/b")
+        post("/addUrl", f"{h}/b1")
+        run.run(max_rounds=2)
+        stored = {r["final_url"] for r in run.catalog.crawled_docs.read(spark).collect()}
+        assert f"{h}/b1" in stored
+
+        # stop: flag honored at the next boundary
+        post("/stop", None)
+        assert run.run(max_rounds=5) == 0
+    finally:
+        srv.stop()
