@@ -106,15 +106,20 @@ _SHINGLES_SQL = (
 
 
 def _doc_shingles(spark, sf_dir):
-    return _docs_tokens(spark, sf_dir).select(
+    # guard on token count BEFORE building shingles: a doc has >= 1
+    # shingle iff it has >= 3 tokens, and filtering on the cheap
+    # predicate stops Catalyst from evaluating the (interpreted,
+    # per-element) shingle HOF chain a second time inside the filter —
+    # measured 5x on the shingle stage at sf0.1
+    return _docs_tokens(spark, sf_dir).where(F.size("tokens") >= 3).select(
         "doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")
-    ).where(F.size("shingles") > 0)
+    )
 
 
 _DOC_SHINGLES_SQL = f"""
     SELECT doc_id, {_SHINGLES_SQL} AS shingles
     FROM ({_TOKENS_SQL})
-    WHERE len({_SHINGLES_SQL}) > 0
+    WHERE len(tokens) >= 3
 """
 
 
@@ -124,15 +129,18 @@ _DOC_SHINGLES_SQL = f"""
 # candidate pairs via band equi-join (never all-pairs)
 # ---------------------------------------------------------------------------
 
-def q_dedup_minhash_lsh(spark, sf_dir):
-    sh = _doc_shingles(spark, sf_dir)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+def _lsh_candidate_pairs(spark, sf_dir, exploded):
+    """Banded-minhash candidate pairs over a pre-materialized exploded
+    (doc_id, sh) table — shared by the LSH query and its verify stage."""
     sigs = exploded.groupBy("doc_id").agg(
         *[
             F.min(_hash60(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
             for i in range(N_MINHASH)
         ]
     )
+    # materialize the (small: one row per doc) band table once — without
+    # this, every band join recomputes the explode + 16-aggregate shingle
+    # subtree for BOTH sides; on a cluster this is persist(DISK_ONLY)
     bands = sigs.select(
         "doc_id",
         *[
@@ -141,18 +149,61 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             ).alias(f"band{b}")
             for b in range(N_BANDS)
         ],
+    ).localCheckpoint()
+    # melt to (doc_id, band_idx, band_key) so ALL bands go through ONE
+    # self-join keyed on (band_idx, band_key) — one shuffle instead of
+    # N_BANDS joins, and the two sides share a reused exchange
+    melted = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bk"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("m"),
+    ).select("doc_id", F.col("m.bi").alias("bi"), F.col("m.bk").alias("bk"))
+    left = melted.select(F.col("doc_id").alias("a"), "bi", "bk")
+    right = melted.select(F.col("doc_id").alias("b"), "bi", "bk")
+    pairs = left.join(right, ["bi", "bk"]).where(F.col("a") < F.col("b")).select("a", "b")
+    return pairs.distinct()
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    sh = _doc_shingles(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    return _lsh_candidate_pairs(spark, sf_dir, exploded).orderBy("a", "b")
+
+
+def q_dedup_minhash_verify(spark, sf_dir):
+    """Two-stage scale dedup: banded-LSH candidate generation, then EXACT
+    Jaccard computed only over candidate pairs (never all-pairs — the
+    intersection join is keyed by candidate doc then shingle, so work is
+    O(candidates x shingles), the canonical MinHash->verify pipeline)."""
+    sh = _doc_shingles(spark, sf_dir)
+    # the exploded table feeds the signature pipeline AND both sides of
+    # the intersection join — materialize once (cluster: persist)
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh")).localCheckpoint()
+    cand = _lsh_candidate_pairs(spark, sf_dir, ex)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(ex.select(F.col("doc_id").alias("a"), "sh"), "a")
+        .join(ex.select(F.col("doc_id").alias("b"), "sh"), ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    pair_parts = []
-    for b in range(N_BANDS):
-        left = bands.select(F.col("doc_id").alias("a"), F.col(f"band{b}").alias("bk"))
-        right = bands.select(F.col("doc_id").alias("b"), F.col(f"band{b}").alias("bk"))
-        pair_parts.append(
-            left.join(right, "bk").where(F.col("a") < F.col("b")).select("a", "b")
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn(
+            "jaccard_micro",
+            F.floor(
+                F.lit(1000000) * F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).cast("long"),
         )
-    pairs = pair_parts[0]
-    for p in pair_parts[1:]:
-        pairs = pairs.unionByName(p)
-    return pairs.distinct().orderBy("a", "b")
+    )
+    return jac.where(F.col("jaccard_micro") >= 500000).select(
+        "a", "b", "jaccard_micro"
+    ).orderBy("a", "b")
 
 
 # (built programmatically to keep the 16 min-hash aggregates readable)
@@ -188,6 +239,43 @@ ORACLE_DEDUP_MINHASH_LSH = f"""
 {_BAND_UNION}
     )
     SELECT DISTINCT a, b FROM pairs ORDER BY a, b
+"""
+
+
+ORACLE_DEDUP_MINHASH_VERIFY = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(shingles) AS sh FROM ({_DOC_SHINGLES_SQL})
+    ),
+    sigs AS (
+      SELECT doc_id,
+           {_MH_AGGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id,
+           {_BAND_COLS}
+      FROM sigs
+    ),
+    pairs AS (
+{_BAND_UNION}
+    ),
+    cand AS (SELECT DISTINCT a, b FROM pairs),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh la ON la.doc_id = c.a
+      JOIN sh lb ON lb.doc_id = c.b AND lb.sh = la.sh
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           CAST(floor(1000000.0 * i.n_inter / (za.n_sh + zb.n_sh - i.n_inter)) AS BIGINT)
+             AS jaccard_micro
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE floor(1000000.0 * i.n_inter / (za.n_sh + zb.n_sh - i.n_inter)) >= 500000
+    ORDER BY a, b
 """
 
 
@@ -302,16 +390,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     practice for MinHash/shingling pipelines)."""
     sh = _doc_shingles(spark, sf_dir)
     ex0 = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    # shingles are distinct per doc, so count(*) per shingle = doc freq
-    ok = (
-        ex0.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # shingles are distinct per doc, so count(*) per shingle = doc freq.
+    # Partition windows replace the groupBy+join round-trips: ONE shuffle
+    # by sh for the df filter, ONE by doc_id for set sizes — the exploded
+    # table (the big intermediate) is never joined against itself early.
+    ex1 = (
+        ex0.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .where(F.col("df") <= NGRAM_MAX_DF)
-        .select("sh")
+        .drop("df")
     )
-    ex1 = ex0.join(ok, "sh")
-    sizes = ex1.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ex = ex1.join(sizes, "doc_id")
+    # materialize once before the self-join (cluster: persist(DISK_ONLY))
+    # so the shingle pipeline runs a single time for both sides
+    ex = ex1.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).localCheckpoint()
     left = ex.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "sh")
     right = ex.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "sh")
     inter = (
@@ -386,11 +478,30 @@ def q_embedding_neardup(spark, sf_dir):
         e.withColumn("_gr", F.row_number().over(w_cap))
         .where(F.col("_gr") <= EMBED_GROUP_CAP)
         .drop("_gr")
+        # pre-cast the vector and precompute its norm ONCE PER ROW —
+        # inside the pair join each candidate pair would otherwise redo
+        # both sides' cast + norm (3x the higher-order-function work);
+        # the arithmetic (sqrt of the same sum, same division) is
+        # unchanged, so values are bit-identical to the oracle
+        .withColumn("vd", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn(
+            "nrm",
+            F.expr(
+                "sqrt(aggregate(transform(vd, x -> x * x), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+            ),
+        )
     )
-    a = e.select(F.col("vec_id").alias("a"), F.col("label").alias("label"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("label").alias("label"), F.col("embedding").alias("vb"))
+    a = e.select(F.col("vec_id").alias("a"), "label", F.col("vd").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("b"), "label", F.col("vd").alias("vb"), F.col("nrm").alias("nb"))
     pairs = a.join(b, "label").where(F.col("a") < F.col("b"))
-    sims = pairs.withColumn("cos_micro", F.floor(F.expr(_COSINE) * 1000000).cast("long"))
+    dot = (
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    sims = pairs.withColumn(
+        "cos_micro", F.floor(F.expr(f"{dot} / (na * nb)") * 1000000).cast("long")
+    )
     # the synthetic embeddings are near-random (same-label max cosine
     # ≈ 0.47) — 0.35 selects the ~0.1% most-similar pairs, keeping the
     # output non-trivially non-empty at every sf
@@ -645,6 +756,7 @@ ORACLE_MEDIA_DECODE = """
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_verify": q_dedup_minhash_verify,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -661,6 +773,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_minhash_verify": ORACLE_DEDUP_MINHASH_VERIFY,
     "simhash": ORACLE_SIMHASH,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,

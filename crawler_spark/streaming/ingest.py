@@ -9,7 +9,12 @@ url_seen/pending dedup → FIFO seq), one micro-batch at a time.
 
 Design (idiomatic Structured Streaming, scale posture):
 - `readStream.text` file source (swap for Kafka in production — the
-  transformations are source-agnostic).
+  transformations are source-agnostic). Kafka wiring: replace the source
+  with `spark.readStream.format("kafka").option("kafka.bootstrap.servers",
+  ...).option("subscribe", "crawl-candidates").load()` and project
+  `CAST(value AS STRING) AS url`; everything downstream (dedup state,
+  foreachBatch admission, checkpointing) is unchanged. The Kafka jar is
+  not in this container, so the file source is the tested path.
 - Two dedup layers, mirroring D1's two layers:
   1. WITHIN-STREAM first-occurrence dedup via `applyInPandasWithState`
      keyed by `pmod(xxhash64(url), K)` — K-way parallel state, each group
@@ -86,6 +91,76 @@ def dedup_stream(candidates: DataFrame, n_buckets: int = 32) -> DataFrame:
     )
 
 
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+# transformWithStateInPandas speaks protobuf to its JVM state server;
+# the container ships no google.protobuf, so the variant is gated (the
+# applyInPandasWithState path above has no such dependency)
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAVE_TWS = True
+except ImportError:
+    HAVE_TWS = False
+
+
+class _DedupProcessor(StatefulProcessor):
+    """transformWithStateInPandas variant of `_dedup_group` (Spark 4.x
+    arbitrary-state API). Same semantics: per-bucket seen-hash set, first
+    occurrence wins; incremental state via ListState.appendList (only the
+    batch's NEW hashes are written, vs applyInPandasWithState rewriting
+    the whole set each batch — the reason this variant exists: RocksDB
+    changelog checkpointing makes per-batch state deltas O(new), not
+    O(total), which is what a long-lived ingest needs)."""
+
+    def init(self, handle) -> None:
+        self._seen = handle.getListState("seen", "h BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        seen = set(h for (h,) in self._seen.get()) if self._seen.exists() else set()
+        new: list[tuple] = []
+        for pdf in rows:
+            fresh = pdf[~pdf["url_hash"].isin(seen)]
+            first = fresh.drop_duplicates(subset=["url_hash"], keep="first")
+            if len(first):
+                hashes = first["url_hash"].tolist()
+                seen.update(hashes)
+                new.extend((int(h),) for h in hashes)
+                yield first[["url", "url_hash", "arrival"]]
+        if new:
+            self._seen.appendList(new)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter([])
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def dedup_stream_tws(candidates: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """`dedup_stream` on the transformWithStateInPandas API. Requires the
+    RocksDB state store provider (caller/session config); state writes are
+    per-batch deltas instead of full-set rewrites."""
+    if not HAVE_TWS:
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf, which is "
+            "not installed; use the applyInPandasWithState path (dedup_stream)"
+        )
+    proc = _DedupProcessor()
+    hashed = candidates.withColumn("url_hash", F.xxhash64("url")).withColumn(
+        "bucket", F.pmod("url_hash", F.lit(n_buckets))
+    )
+    return hashed.groupBy("bucket").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=_DEDUP_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
+
+
 class StreamingIngest:
     """Wires a URL text stream into a CrawlRun's frontier."""
 
@@ -131,11 +206,24 @@ class StreamingIngest:
         run._commit_run_row(run.round - 1, pending=-1)
         self.batches.append(n)
 
-    def start(self, input_dir: str, checkpoint_dir: str, available_now: bool = True):
+    def start(
+        self,
+        input_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        use_tws: bool = False,
+    ):
         """Consume `input_dir` text files (one URL per line). With
         available_now=True the query drains existing files and stops —
-        the deterministic test/drive mode; False = continuous."""
+        the deterministic test/drive mode; False = continuous.
+        use_tws=True selects the transformWithStateInPandas dedup
+        (RocksDB state store, per-batch state deltas)."""
         spark = self.run.spark
+        if use_tws:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
         raw = (
             spark.readStream.format("text")
             .option("maxFilesPerTrigger", "4")
@@ -148,7 +236,8 @@ class StreamingIngest:
                 F.xxhash64("value").alias("arrival"),
             )
         )
-        deduped = dedup_stream(raw, self.n_buckets).drop("url_hash")
+        dedup = dedup_stream_tws if use_tws else dedup_stream
+        deduped = dedup(raw, self.n_buckets).drop("url_hash")
         writer = (
             deduped.writeStream.foreachBatch(self._admit_batch)
             .option("checkpointLocation", checkpoint_dir)

@@ -14,7 +14,18 @@ import pytest
 from crawler_spark.config import CrawlConfig
 from crawler_spark.driver import CrawlRun
 from crawler_spark.genweb import generate
-from crawler_spark.streaming.ingest import StreamingIngest
+from crawler_spark.streaming.ingest import HAVE_TWS, StreamingIngest
+
+# the transformWithStateInPandas variant needs google.protobuf (absent in
+# this container) — parametrized runs skip rather than fail without it
+_TWS_PARAMS = [
+    pytest.param(False, id="apiws"),
+    pytest.param(
+        True,
+        id="tws",
+        marks=pytest.mark.skipif(not HAVE_TWS, reason="google.protobuf not installed"),
+    ),
+]
 from tests.conftest import web_to_spark
 
 
@@ -33,7 +44,8 @@ def _write_urls(path: str, name: str, urls: list[str]) -> None:
         f.write("\n".join(urls) + "\n")
 
 
-def test_stream_ingest_dedup_and_admission(stream_run, spark, tmp_path):
+@pytest.mark.parametrize("use_tws", _TWS_PARAMS)
+def test_stream_ingest_dedup_and_admission(stream_run, spark, tmp_path, use_tws):
     web, run = stream_run
     doc_urls = [d["doc_id"] for d in web["documents"].to_dict("records")][:12]
     in_dir = str(tmp_path / "in")
@@ -47,7 +59,7 @@ def test_stream_ingest_dedup_and_admission(stream_run, spark, tmp_path):
     _write_urls(in_dir, "b.txt", doc_urls[3:9] + [variant])
 
     ingest = StreamingIngest(run, n_buckets=8)
-    q = ingest.start(in_dir, ckpt, available_now=True)
+    q = ingest.start(in_dir, ckpt, available_now=True, use_tws=use_tws)
     q.awaitTermination(120)
 
     fr = run.catalog.frontier.read(spark)
@@ -93,10 +105,13 @@ def test_stream_then_crawl_then_stream(stream_run, spark, tmp_path):
     assert set(new) <= set(fr)
 
 
-def test_stream_state_survives_restart(stream_run, spark, tmp_path):
-    """applyInPandasWithState state is Spark-checkpointed: a NEW query over
-    the SAME checkpoint must remember every url_hash it already emitted,
-    so re-sent URLs are deduped by restored state (before any table
+@pytest.mark.parametrize("use_tws", _TWS_PARAMS)
+def test_stream_state_survives_restart(stream_run, spark, tmp_path, use_tws):
+    """Stateful-dedup state is Spark-checkpointed (GroupState for
+    applyInPandasWithState, RocksDB ListState for the
+    transformWithStateInPandas variant): a NEW query over the SAME
+    checkpoint must remember every url_hash it already emitted, so
+    re-sent URLs are deduped by restored state (before any table
     anti-join could catch them — they were admitted pre-restart)."""
     web, run = stream_run
     doc_urls = [d["doc_id"] for d in web["documents"].to_dict("records")]
@@ -104,7 +119,7 @@ def test_stream_state_survives_restart(stream_run, spark, tmp_path):
 
     _write_urls(in_dir, "a.txt", doc_urls[:5])
     ingest = StreamingIngest(run, n_buckets=8)
-    ingest.start(in_dir, ckpt, available_now=True).awaitTermination(120)
+    ingest.start(in_dir, ckpt, available_now=True, use_tws=use_tws).awaitTermination(120)
     assert sum(ingest.batches) == 5
 
     # restart: same checkpoint, fresh query object; resend 3 old + 4 new.
@@ -113,7 +128,7 @@ def test_stream_state_survives_restart(stream_run, spark, tmp_path):
     # rows per micro-batch (state dedup happens before _admit_batch).
     _write_urls(in_dir, "b.txt", doc_urls[:3] + doc_urls[5:9])
     ingest2 = StreamingIngest(run, n_buckets=8)
-    q = ingest2.start(in_dir, ckpt, available_now=True)
+    q = ingest2.start(in_dir, ckpt, available_now=True, use_tws=use_tws)
     q.awaitTermination(120)
     # only the 4 genuinely-new URLs reached admission at all
     assert sum(ingest2.batches) == 4
