@@ -240,6 +240,9 @@ class CrawlRun:
                 return False
             t0 = time.time()
             staged = stager.wait()
+        if timings is not None:
+            timings["c_wait"] = round(time.time() - t0, 2)
+            t1 = time.time()
 
         # every append is already on disk; commit the manifests at the
         # round barrier — cheap file renames, runs row last (the barrier)
@@ -254,11 +257,16 @@ class CrawlRun:
         for name in ("scheduled", "frontier", "url_seen", "crawled_docs", "errors", "session_state"):
             cat.tables[name].commit_staged(staged[name][0], round_)
         cat.metrics.append_local([(round_, k, float(v)) for k, v in counts.items()], round_)
+        if timings is not None:
+            timings["c_manifests"] = round(time.time() - t1, 2)
+            t1 = time.time()
         if self.ctx.bloom is not None:
             if self.distributed_bloom_merge:
                 self.ctx.bloom.merge_dir_distributed(spark, staged["url_seen"][0], round_)
             else:
                 self.ctx.bloom.merge_dir(staged["url_seen"][0], round_)
+        if timings is not None:
+            timings["c_bloom"] = round(time.time() - t1, 2)
         if counts["new_cookies"]:
             # jar for the NEXT round grows by this round's committed diff
             # (driver-local footer read — the delta dir is tiny)

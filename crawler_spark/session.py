@@ -41,6 +41,14 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # FAIR task scheduling: the round plan submits jobs from several
+        # driver threads (stager writes, broadcast-exchange builds, the
+        # main materialization chain). Under FIFO a tiny broadcast-build
+        # scan queues behind a staged write's long task wave and the main
+        # chain stalls on it (event-log measured: 3-6 s walls on <2 s of
+        # task time); FAIR gives every concurrent job a slot share so the
+        # critical path never starves behind background writes.
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
