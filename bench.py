@@ -261,7 +261,12 @@ def main():
 
     low, high = crawl_bench_pinned(2), crawl_bench_pinned(8)
     attempts = 1
-    while eff_of(low, high) < 0.8 and attempts < 3:
+    # stop retrying once EITHER the raw target is met OR the measurement
+    # already clears the target normalized by what the VM itself delivers
+    # (probe_before): when the hardware probe reads < 0.8, no amount of
+    # retrying can push the raw number past the machine's own ceiling
+    pb = probe_before["ceiling_efficiency"] or 1.0
+    while eff_of(low, high) < 0.8 and eff_of(low, high) / pb < 0.8 and attempts < 3:
         lo2, hi2 = crawl_bench_pinned(2), crawl_bench_pinned(8)
         attempts += 1
         if lo2["best_round_urls_per_sec"] > low["best_round_urls_per_sec"]:

@@ -1100,7 +1100,37 @@ ORACLE_MEDIA_FEATURES = """
     FROM documents ORDER BY doc_id
 """
 
+def q_media_frames(spark, sf_dir):
+    """Frame sampling: the row-EXPANDING mapInPandas shape used for video
+    (one input doc → one row per sampled frame). Decode is the declared
+    deterministic stub (media.capability_report); the plumbing — binary
+    payload in, typed multi-row frames out — is the real pattern."""
+    from crawler_spark.functions.media import sample_frames_batch
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        sample_frames_batch, "doc_id bigint, frame_idx int, feature_hash int"
+    ).orderBy("doc_id", "frame_idx")
+
+
+ORACLE_MEDIA_FRAMES = """
+    SELECT doc_id,
+           CAST(idx AS INT) AS frame_idx,
+           CAST((n * 31 + idx * 7) % 997 AS INT) AS feature_hash
+    FROM (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             unnest(range(0, octet_length(encode(text)) % 30 + 1, 10)) AS idx
+      FROM documents
+    )
+    ORDER BY doc_id, frame_idx
+"""
+
 QUERIES["media_resize"] = q_media_resize
 QUERIES["media_features"] = q_media_features
+QUERIES["media_frames"] = q_media_frames
 ORACLES["media_resize"] = ORACLE_MEDIA_RESIZE
 ORACLES["media_features"] = ORACLE_MEDIA_FEATURES
+ORACLES["media_frames"] = ORACLE_MEDIA_FRAMES
