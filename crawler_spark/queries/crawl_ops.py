@@ -273,6 +273,56 @@ def q_schedule_salted(spark, sf_dir):
     )
 
 
+ROUND_WINDOW_MS = 6000  # virtual round duration for the timing scheduler
+
+
+def q_schedule_timing(spark, sf_dir):
+    """P7 as virtual-TIME politeness (beyond budget division): host h<k>
+    has crawl_delay 1+(k%4) seconds; the r-th fetch on a host departs at
+    eta_ms = (r-1)*delay*1000 of virtual round time, and only departures
+    inside the ROUND_WINDOW_MS window are admitted this round. Global
+    fetch order is by departure time, then priority/seq — the order a
+    wall-clock scheduler would actually issue requests. Admitted COUNTS
+    equal budget = ceil(window/delay) (the division the round plan uses,
+    simulator._budget parity), but this yields a per-fetch politeness
+    timestamp for auditing/lineage. Same window shapes as the scheduler:
+    one per-host rank, no all-pairs, skew-safe under the salted variant."""
+    fr = _frontier_df(spark, sf_dir)
+    delay_s = F.lit(1) + F.substring("host", 2, 10).cast("int") % 4
+    ranked = fr.withColumn(
+        "host_rank", F.row_number().over(Window.partitionBy("host").orderBy("priority", "seq"))
+    )
+    timed = ranked.withColumn(
+        "eta_ms", ((F.col("host_rank") - 1) * delay_s * 1000).cast("bigint")
+    )
+    admitted = timed.where(F.col("eta_ms") < ROUND_WINDOW_MS)
+    return (
+        global_rank(admitted, ["eta_ms", "priority", "seq", "host"], "rank")
+        .orderBy("rank")
+        .select("host", "seq", "host_rank", "eta_ms", "rank")
+    )
+
+
+ORACLE_SCHEDULE_TIMING = f"""
+    WITH frontier AS ({_FRONTIER_SQL}),
+    ranked AS (
+      SELECT host, priority, seq,
+             row_number() OVER (PARTITION BY host ORDER BY priority, seq) AS host_rank,
+             1 + (CAST(SUBSTR(host, 2) AS INT) % 4) AS delay_s
+      FROM frontier
+    ),
+    timed AS (
+      SELECT host, priority, seq, host_rank,
+             CAST((host_rank - 1) * delay_s * 1000 AS BIGINT) AS eta_ms
+      FROM ranked
+    ),
+    admitted AS (SELECT * FROM timed WHERE eta_ms < {ROUND_WINDOW_MS})
+    SELECT host, seq, host_rank, eta_ms,
+           row_number() OVER (ORDER BY eta_ms, priority, seq, host) AS rank
+    FROM admitted ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # F1: include-pattern filter (src/Crawl.hs:214-228)
 # ---------------------------------------------------------------------------
@@ -508,6 +558,7 @@ QUERIES = {
     "urlseen_antijoin": q_urlseen_antijoin,
     "schedule_window": q_schedule_window,
     "schedule_salted": q_schedule_salted,
+    "schedule_timing": q_schedule_timing,
     "include_filter": q_include_filter,
     "robots_filter": q_robots_filter,
     "redirect_closure": q_redirect_closure,
@@ -524,6 +575,7 @@ ORACLES = {
     "urlseen_antijoin": ORACLE_URLSEEN_ANTIJOIN,
     "schedule_window": _SCHEDULE_ORACLE,
     "schedule_salted": _SCHEDULE_ORACLE,
+    "schedule_timing": ORACLE_SCHEDULE_TIMING,
     "include_filter": ORACLE_INCLUDE_FILTER,
     "robots_filter": ORACLE_ROBOTS_FILTER,
     "redirect_closure": ORACLE_REDIRECT_CLOSURE,
