@@ -18,12 +18,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+RANK_BUCKETS = 256
+
+
+def rank_bucket(minor, minor_max: int, major=None):
+    """Monotone bucket id for `global_rank(bucket=...)` from a KNOWN key
+    domain: `minor` (unique-ish non-negative long, e.g. seq or fetch rank)
+    is width-bucketed into <= RANK_BUCKETS+1 ranges, optionally prefixed
+    by a small leading sort column (e.g. priority). Monotone in
+    (major, minor) lexicographic order by construction: the minor bucket
+    never exceeds RANK_BUCKETS, so `major * (RANK_BUCKETS+1)` strictly
+    dominates. Per-bucket row count is bounded by the width (minor is
+    unique per row in our callers) — the same bound repartitionByRange's
+    sampler gives, without the sampling job."""
+    width = max(1, (int(minor_max) + RANK_BUCKETS - 1) // RANK_BUCKETS)
+    b = F.least(F.floor(minor.cast("long") / F.lit(width)), F.lit(RANK_BUCKETS)).cast("long")
+    if major is not None:
+        b = major.cast("long") * F.lit(RANK_BUCKETS + 1) + b
+    return b
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[str],
     out_col: str,
     start: int = 1,
     materialize_input: bool = False,
+    bucket=None,
 ) -> DataFrame:
     """Append `out_col` = 1-based global rank by `order_cols` (+start-1).
 
@@ -38,9 +59,45 @@ def global_rank(
     already materialized or carries wide payload columns (spans) whose
     duplication in block-manager memory would cost more than the
     recompute.
+
+    bucket: optional Column — a deterministic partition id that is
+    MONOTONE in the order key ((k1 < k2) ⇒ (b1 <= b2); build it from a
+    known key domain, e.g. `priority * (NB+1) + seq div width`). When
+    given, it replaces repartitionByRange entirely: no sampling job, no
+    second checkpoint (the id is a pure row function, so re-execution is
+    stable by construction), one window shuffle hash-keyed on the bucket.
+    Bucket sizes are bounded by the caller's width choice instead of by
+    the range sampler — at cluster scale this is the same per-partition
+    guarantee, minus two job launches and a full block-manager copy per
+    rank. Identical output ranks either way.
     """
     if materialize_input:
         df = df.localCheckpoint()
+    if bucket is not None:
+        part = df.withColumn("_pid", bucket.cast("long")).withColumn(
+            "_prank", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+        )
+        offsets = (
+            df.groupBy(bucket.cast("long").alias("_pid"))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn(
+                "_offset",
+                F.coalesce(
+                    F.sum("_cnt").over(
+                        Window.partitionBy(F.lit(0))
+                        .orderBy("_pid")
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("_pid", "_offset")
+        )
+        return (
+            part.join(F.broadcast(offsets), "_pid")
+            .withColumn(out_col, (F.col("_prank") + F.col("_offset") + F.lit(start - 1)).cast("long"))
+            .drop("_pid", "_prank", "_offset")
+        )
     # materialize the range partitioning ONCE: the offsets aggregation and
     # the final join both consume `part`, and without this barrier each
     # would re-execute the range shuffle — AQE may then coalesce the two

@@ -31,7 +31,7 @@ from crawler_spark.bloom import BloomSidecar
 from crawler_spark.config import CrawlConfig
 from crawler_spark.plans import expressions as X
 from crawler_spark.plans.parse import DECISION_SCHEMA, make_decide
-from crawler_spark.plans.ranking import global_rank
+from crawler_spark.plans.ranking import global_rank, rank_bucket
 
 
 @dataclass
@@ -70,7 +70,7 @@ def pending_frontier(frontier: DataFrame, scheduled: DataFrame) -> DataFrame:
     return frontier.join(scheduled.select("seq"), "seq", "left_anti")
 
 
-def schedule(pending: DataFrame, ctx: RoundContext) -> DataFrame:
+def schedule(pending: DataFrame, ctx: RoundContext, max_seq: int | None = None) -> DataFrame:
     """P1-P7: per-host FIFO truncated to budget, then global fetch rank.
 
     Two-phase salted window (SURVEY.md P6): phase 1 ranks within
@@ -105,8 +105,17 @@ def schedule(pending: DataFrame, ctx: RoundContext) -> DataFrame:
         .drop("_r1", "_r2", "budget", "crawl_delay", "status", "discovered_round")
     )
     # materialize_input: the anti-join + double window above would
-    # otherwise run twice (range-partitioner sampling pass + shuffle)
-    return global_rank(admitted, ["priority", "seq"], "rank", materialize_input=True)
+    # otherwise run twice (range-partitioner sampling pass + shuffle).
+    # max_seq (every frontier seq is < the driver's next_seq counter)
+    # switches global_rank to deterministic (priority, seq-range)
+    # bucketing — no range-sampling job, no second checkpoint
+    bucket = (
+        rank_bucket(F.col("seq"), max_seq, major=F.col("priority"))
+        if max_seq else None
+    )
+    return global_rank(
+        admitted, ["priority", "seq"], "rank", materialize_input=True, bucket=bucket
+    )
 
 
 def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContext, round_: int):
@@ -296,6 +305,7 @@ def admit_candidates(
     round_: int,
     next_seq: int,
     seen_delta_urls: DataFrame | None = None,
+    max_rank: int | None = None,
 ):
     """Shared D1-D3 admission pipeline (also used for seeding, S1/S2).
 
@@ -378,8 +388,16 @@ def admit_candidates(
     ).select("url", F.col("k.ord_rank").alias("ord_rank"), F.col("k.ord_sub").alias("ord_sub"), F.col("k.host").alias("host"), F.col("k.prio").alias("prio"))
 
     # materialize_input: the bloom prefilter + admission joins + dedup agg
-    # above would otherwise run twice (range sampling pass + shuffle)
-    ranked = global_rank(deduped, ["ord_rank", "ord_sub"], "_d", materialize_input=True)
+    # above would otherwise run twice (range sampling pass + shuffle).
+    # max_rank (the round's admitted-batch size, known after the scheduled
+    # write) switches global_rank to deterministic monotone bucketing on
+    # ord_rank — drops the range-sampling job + second checkpoint
+    bucket = (
+        rank_bucket(F.col("ord_rank"), max_rank) if max_rank else None
+    )
+    ranked = global_rank(
+        deduped, ["ord_rank", "ord_sub"], "_d", materialize_input=True, bucket=bucket
+    )
     frontier_append = ranked.select(
         "url",
         F.xxhash64("url").alias("url_hash"),
@@ -443,7 +461,7 @@ def run_round(
     # manifest at round start, so recomputation is stable against this
     # round's uncommitted stage dir.
     pending = pending_frontier(frontier, scheduled)
-    scheduled_append = schedule(pending, ctx).select(
+    scheduled_append = schedule(pending, ctx, max_seq=next_seq).select(
         "seq", "url_hash", "url", F.lit(round_).alias("round"), "rank",
         F.col("priority").cast("int").alias("priority"),
     )
@@ -580,6 +598,8 @@ def run_round(
         round_,
         next_seq,
         seen_delta_urls=url_seen_append.select("url"),
+        # ord_rank <= this round's admitted-batch size (already staged)
+        max_rank=stager.staged_count("scheduled"),
     )
     errors_append = decision_errors.unionByName(link_errors).unionByName(host_null_errors)
     _submit("errors", errors_append)

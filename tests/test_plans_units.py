@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from crawler_spark import crawl_logic as cl
 from crawler_spark.plans import expressions as X
 from crawler_spark.plans.closure import build_redirect_closure
-from crawler_spark.plans.ranking import global_rank
+from crawler_spark.plans.ranking import global_rank, rank_bucket
 from crawler_spark.schema import REDIRECTS
 
 
@@ -80,6 +80,31 @@ def test_global_rank_start_offset(spark):
     df = spark.createDataFrame([(3,), (1,), (2,)], "v int")
     got = {r["v"]: r["rk"] for r in global_rank(df, ["v"], "rk", start=10).collect()}
     assert got == {1: 10, 2: 11, 3: 12}
+
+
+def test_global_rank_bucketed_matches_range_path(spark):
+    """The deterministic-bucket fast path (known key domain — the round
+    plan's schedule/admission use it) must produce byte-identical ranks
+    to the repartitionByRange path, including degenerate widths."""
+    rng = random.Random(21)
+    rows = [(rng.randrange(0, 4), s) for s in rng.sample(range(100000), 4000)]
+    df = spark.createDataFrame(rows, "priority int, seq long")
+    base = global_rank(df, ["priority", "seq"], "rank")
+    for minor_max in (100000, 1):  # honest width and degenerate one-bucket
+        b = global_rank(
+            df, ["priority", "seq"], "rank",
+            bucket=rank_bucket(F.col("seq"), minor_max, major=F.col("priority")),
+        )
+        assert base.exceptAll(b).count() == 0 and b.exceptAll(base).count() == 0
+    # minor-only bucket (admission's ord_rank shape, ord_sub tiebreak)
+    rows2 = [(rng.randrange(0, 500), i) for i in range(3000)]
+    df2 = spark.createDataFrame(rows2, "ord_rank long, ord_sub long")
+    base2 = global_rank(df2, ["ord_rank", "ord_sub"], "s", start=7)
+    b2 = global_rank(
+        df2, ["ord_rank", "ord_sub"], "s", start=7,
+        bucket=rank_bucket(F.col("ord_rank"), 500),
+    )
+    assert base2.exceptAll(b2).count() == 0 and b2.exceptAll(base2).count() == 0
 
 
 def test_expressions_match_pure_python(spark):
