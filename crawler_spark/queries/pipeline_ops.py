@@ -694,6 +694,97 @@ ORACLE_FINGERPRINT = f"""
 
 
 # ---------------------------------------------------------------------------
+# Composed corpus-preprocessing pipeline: lang-ID -> quality gate -> exact
+# dedup -> token stats, the end-to-end shape a training-data prep job runs
+# ---------------------------------------------------------------------------
+
+def q_corpus_pipeline(spark, sf_dir):
+    """One declarative plan for the whole preprocessing chain:
+
+      1. per-row feature pass (NO shuffle): tokens, language votes as
+         array-filter counts (shuffle-free reformulation of lang_id's
+         explode+groupBy — same argmax), quality ratios, BPE-ish token
+         estimate, 60-bit content fingerprint;
+      2. row-local gates first (lang == 'en' AND quality_ok) so the only
+         shuffle in the plan — the dedup groupBy on fingerprint — sees
+         survivors only (filter-before-shuffle is the 100-TB ordering);
+      3. exact dedup keeping the min-doc_id representative per
+         fingerprint, with the duplicate count kept as lineage.
+
+    Catalyst fuses stage 1+2 into a single WholeStageCodegen scan; total
+    plan cost is one parquet scan + one hash aggregate."""
+    stop_all = _EN + _ES + _DE
+    d = _docs_tokens(spark, sf_dir)
+
+    def hits(words):
+        return F.size(F.filter("tokens", lambda t: F.lower(t).isin(words)))
+
+    feat = d.select(
+        "doc_id",
+        F.size("tokens").alias("n_words"),
+        hits(_EN).alias("en_hits"),
+        hits(_ES).alias("es_hits"),
+        hits(_DE).alias("de_hits"),
+        F.size(F.filter("tokens", lambda t: F.lower(t).isin(stop_all))).alias("n_stop"),
+        F.aggregate(
+            F.transform("tokens", lambda t: F.ceil(F.length(t) / F.lit(4.0)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n_bpe_tokens"),
+        _hash60(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))).alias("fingerprint"),
+    )
+    gated = feat.where(
+        (F.col("en_hits") >= F.col("es_hits"))
+        & (F.col("en_hits") >= F.col("de_hits"))
+        & (F.col("n_words") >= 5)
+        & (F.floor(F.lit(1000) * F.col("n_stop") / F.greatest("n_words", F.lit(1))) >= 10)
+    )
+    return (
+        gated.groupBy("fingerprint")
+        .agg(
+            F.min(F.struct("doc_id", "n_words", "n_bpe_tokens")).alias("k"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.n_words").alias("n_words"),
+            F.col("k.n_bpe_tokens").alias("n_bpe_tokens"),
+            "fingerprint",
+            "n_dupes",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CORPUS_PIPELINE = f"""
+    WITH t AS ({_TOKENS_SQL}),
+    feat AS (
+      SELECT doc_id,
+             len(tokens) AS n_words,
+             len(list_filter(tokens, x -> list_contains({_sql_list(_EN)}, lower(x)))) AS en_hits,
+             len(list_filter(tokens, x -> list_contains({_sql_list(_ES)}, lower(x)))) AS es_hits,
+             len(list_filter(tokens, x -> list_contains({_sql_list(_DE)}, lower(x)))) AS de_hits,
+             len(list_filter(tokens, x -> list_contains({_sql_list(_EN + _ES + _DE)}, lower(x)))) AS n_stop,
+             list_sum(list_transform(tokens, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS n_bpe,
+             {_hash60_sql(_NORM_TEXT_SQL)} AS fingerprint
+      FROM t
+    ),
+    gated AS (
+      SELECT * FROM feat
+      WHERE en_hits >= es_hits AND en_hits >= de_hits
+        AND n_words >= 5
+        AND floor(1000.0 * n_stop / greatest(n_words, 1)) >= 10
+    )
+    SELECT min(doc_id) AS doc_id,
+           CAST(min_by(n_words, doc_id) AS INT) AS n_words,
+           CAST(min_by(n_bpe, doc_id) AS BIGINT) AS n_bpe_tokens,
+           fingerprint,
+           count(*) AS n_dupes
+    FROM gated GROUP BY fingerprint ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Streaming analog: tumbling-window event aggregation (the round-based
 # engine's counterpart of watermarked windowed aggs; exact-int sums)
 # ---------------------------------------------------------------------------
@@ -766,6 +857,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
+    "corpus_pipeline": q_corpus_pipeline,
     "event_window": q_event_window,
     "media_decode": q_media_decode,
 }
@@ -783,6 +875,7 @@ ORACLES = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "token_count": ORACLE_TOKEN_COUNT,
     "fingerprint": ORACLE_FINGERPRINT,
+    "corpus_pipeline": ORACLE_CORPUS_PIPELINE,
     "event_window": ORACLE_EVENT_WINDOW,
     "media_decode": ORACLE_MEDIA_DECODE,
 }
