@@ -906,12 +906,12 @@ def _proj_vector(table: int, bit: int, dim: int) -> list[float]:
     return out
 
 
-def _with_buckets(df, vec_col: str, dim: int):
-    """Append one bucket column per LSH table (sign of b projections)."""
+def _with_buckets(df, vec_col: str, dim: int, bits: int = ANN_LSH_BITS, tables: int = ANN_LSH_TABLES):
+    """Append one bucket column per LSH table (sign of `bits` projections)."""
     out = df
-    for t in range(ANN_LSH_TABLES):
+    for t in range(tables):
         bucket = F.lit(0)
-        for b in range(ANN_LSH_BITS):
+        for b in range(bits):
             proj = F.array(*[F.lit(v) for v in _proj_vector(t, b, dim)])
             out = out.withColumn(f"_p{t}_{b}", proj)
             dot = F.expr(
@@ -920,7 +920,7 @@ def _with_buckets(df, vec_col: str, dim: int):
             )
             bucket = bucket + F.when(dot >= 0, F.lit(1 << b)).otherwise(0)
         out = out.withColumn(f"bucket{t}", bucket).drop(
-            *[f"_p{t}_{b}" for b in range(ANN_LSH_BITS)]
+            *[f"_p{t}_{b}" for b in range(bits)]
         )
     return out
 
@@ -1025,6 +1025,88 @@ ORACLE_ANN_LSH_TOPK = f"""
 """
 
 ORACLES["ann_lsh_topk"] = ORACLE_ANN_LSH_TOPK
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup, LSH-bucketed (the 100-TB scale path): the label-blocked
+# variant above bounds pair space by label cardinality; this one needs no
+# labels at all — sign-random-projection buckets block the WHOLE corpus,
+# per-table self-equi-joins generate candidates, exact cosine verifies.
+# Candidate volume ~ n^2 / 2^bits per table; recall is the standard
+# (1 - theta/pi)^bits per table, amortized over tables — the knobs a real
+# deployment turns. Deterministic projections => exact SQL oracle.
+# ---------------------------------------------------------------------------
+
+NEARDUP_LSH_BITS = 6
+NEARDUP_LSH_TABLES = 2
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    assert dim == 64, f"neardup_lsh oracle assumes dim=64, got {dim}"
+    bkt = _with_buckets(
+        e.select("vec_id", F.col("embedding").alias("v")), "v", dim,
+        bits=NEARDUP_LSH_BITS, tables=NEARDUP_LSH_TABLES,
+    )
+    parts = []
+    for t in range(NEARDUP_LSH_TABLES):
+        left = bkt.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                          F.col(f"bucket{t}").alias("bk"))
+        right = bkt.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                           F.col(f"bucket{t}").alias("bk"))
+        parts.append(left.join(right, "bk").where(F.col("a") < F.col("b")).drop("bk"))
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    scored = (
+        cands.distinct()
+        .withColumn("cos_micro", F.floor(F.expr(_COSINE) * 1000000).cast("long"))
+    )
+    return (
+        scored.where(F.col("cos_micro") >= 350000)
+        .select("a", "b", "cos_micro")
+        .orderBy("a", "b")
+    )
+
+
+def _neardup_bucket_sql(t: int) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product(v, {_lsh_proj_literal(t, b)}) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(NEARDUP_LSH_BITS)
+    ]
+    return " + ".join(terms)
+
+
+def _make_oracle_neardup_lsh() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bkt AS (
+      SELECT vec_id, v,
+             {_neardup_bucket_sql(0)} AS bk0,
+             {_neardup_bucket_sql(1)} AS bk1
+      FROM e
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b, l.v AS va, r.v AS vb
+      FROM bkt l JOIN bkt r
+        ON l.vec_id < r.vec_id AND (l.bk0 = r.bk0 OR l.bk1 = r.bk1)
+    )
+    SELECT a, b,
+           CAST(floor(1000000 * list_dot_product(va, vb) /
+                (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))) AS BIGINT)
+             AS cos_micro
+    FROM cand
+    WHERE floor(1000000 * list_dot_product(va, vb) /
+          (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))) >= 350000
+    ORDER BY a, b
+"""
+
+
+QUERIES["embedding_neardup_lsh"] = q_embedding_neardup_lsh
+ORACLES["embedding_neardup_lsh"] = _make_oracle_neardup_lsh()
+
 
 # ---------------------------------------------------------------------------
 # ANN IVF (inverted-file) variant — the second scale path next to LSH.
