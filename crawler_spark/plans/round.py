@@ -253,7 +253,10 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
             )
         )
         acc_before = branch_acc.value
-        if _hop == 0 and cfg.vectorized_extract:
+        # directions force route_python_col to lit(True) (A3 regexes only
+        # evaluate under Python re) — the split would checkpoint the full
+        # span payload just to route everything to Python anyway
+        if _hop == 0 and cfg.vectorized_extract and not ctx.directions:
             # JVM fast path (plans/extract.py): the fetch join is
             # materialized once, then split — plain rows are decided by
             # Catalyst expressions (spans never cross Arrow), only

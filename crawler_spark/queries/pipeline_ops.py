@@ -129,7 +129,7 @@ _DOC_SHINGLES_SQL = f"""
 # candidate pairs via band equi-join (never all-pairs)
 # ---------------------------------------------------------------------------
 
-def _lsh_candidate_pairs(spark, sf_dir, exploded):
+def _lsh_candidate_pairs(exploded):
     """Banded-minhash candidate pairs over a pre-materialized exploded
     (doc_id, sh) table — shared by the LSH query and its verify stage."""
     sigs = exploded.groupBy("doc_id").agg(
@@ -171,7 +171,7 @@ def _lsh_candidate_pairs(spark, sf_dir, exploded):
 def q_dedup_minhash_lsh(spark, sf_dir):
     sh = _doc_shingles(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    return _lsh_candidate_pairs(spark, sf_dir, exploded).orderBy("a", "b")
+    return _lsh_candidate_pairs(exploded).orderBy("a", "b")
 
 
 def q_dedup_minhash_verify(spark, sf_dir):
@@ -183,7 +183,7 @@ def q_dedup_minhash_verify(spark, sf_dir):
     # the exploded table feeds the signature pipeline AND both sides of
     # the intersection join — materialize once (cluster: persist)
     ex = sh.select("doc_id", F.explode("shingles").alias("sh")).localCheckpoint()
-    cand = _lsh_candidate_pairs(spark, sf_dir, ex)
+    cand = _lsh_candidate_pairs(ex)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(ex.select(F.col("doc_id").alias("a"), "sh"), "a")

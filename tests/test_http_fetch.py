@@ -126,3 +126,93 @@ def test_http_fetch_abort_and_missing(spark, tmp_state):
         run.run(max_rounds=3)
 
     assert_equivalent(spark, sim_res, run)
+
+
+def test_http_fetch_hostile_responses_become_failed_rows():
+    """Server-controlled data must degrade to failed-fetch rows, never
+    crash the stage: malformed Content-Length, JSON that is not a span
+    list, and a relative Location after a POST (which must resolve
+    against the ACTION url, not the NUL-carrying fetch key)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pandas as pd
+
+    spans_ok = [{"kind": "text", "text": "hi", "media_ref": None, "offset": 0}]
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):  # noqa: N802
+            if self.path.endswith("/badlen"):
+                body = b"[]"
+                self.send_response(200)
+                self.send_header("Content-Length", "not-a-number")
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.endswith("/notalist"):
+                body = b"5"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.endswith("/login?next=1"):
+                body = _json.dumps(spans_ok).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        def do_POST(self):  # noqa: N802
+            self.rfile.read(int(self.headers.get("Content-Length") or 0))
+            # query-only Location: resolves to <action>?next=1 iff the
+            # base is the action URL; against the NUL fetch key it would
+            # produce an illegal URL and a spurious failed row
+            self.send_response(302)
+            self.send_header("Location", "?next=1")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    from crawler_spark.plans.fetch_http import make_http_fetch
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        cfg = CrawlConfig(seeds=(), domain_include_patterns=("example.org",),
+                          proxy=f"{host}:{port}")
+        fetch = make_http_fetch(cfg, frozenset())
+        urls = [
+            "http://h.example.org/badlen",
+            "http://h.example.org/notalist",
+            "http://h.example.org/login\x00pass=x&user=admin",
+        ]
+        pdf = pd.DataFrame({
+            "rank": [1, 2, 3],
+            "scheduled_url": urls,
+            "current_url": urls,
+            "hops": [0, 0, 0],
+            "chain_cookies": [[], [], []],
+        })
+        (out,) = list(fetch(iter([pdf])))
+        rows = {r.scheduled_url: r for r in out.itertuples()}
+        # hostile rows: failed (spans None), no exception escaped
+        assert rows[urls[0]].spans is None
+        assert rows[urls[1]].spans is None
+        # POST: 302 '?next=1' resolved against the action URL and fetched
+        post = rows[urls[2]]
+        assert post.spans == spans_ok
+        assert post.final == "http://h.example.org/login?next=1"
+        assert post.visited[-1] == "http://h.example.org/login?next=1"
+    finally:
+        srv.shutdown()
+        srv.server_close()
