@@ -118,7 +118,10 @@ def schedule(pending: DataFrame, ctx: RoundContext, max_seq: int | None = None) 
     )
 
 
-def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContext, round_: int):
+def fetch_and_branch(
+    admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContext, round_: int,
+    timings: dict | None = None,
+):
     """A1 + A2 + H1-H5: redirect-resolved fetch plus the direction →
     meta-refresh → form interaction loop, driver-unrolled with early exit.
 
@@ -256,6 +259,9 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
         # directions force route_python_col to lit(True) (A3 regexes only
         # evaluate under Python re) — the split would checkpoint the full
         # span payload just to route everything to Python anyway
+        import time as _t
+
+        _t0 = _t.time()
         if _hop == 0 and cfg.vectorized_extract and not ctx.directions:
             # JVM fast path (plans/extract.py): the fetch join is
             # materialized once, then split — plain rows are decided by
@@ -268,6 +274,9 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
             from crawler_spark.plans.extract import plain_decisions, route_python_col
 
             fetched = fetched.localCheckpoint()
+            if timings is not None and _hop == 0:
+                timings["f_mat"] = round(_t.time() - _t0, 2)
+                _t0 = _t.time()
             route = route_python_col(ctx.directions)
             decisions = (
                 fetched.where(route)
@@ -277,6 +286,8 @@ def fetch_and_branch(admitted: DataFrame, gate_urls: DataFrame, ctx: RoundContex
             )
         else:
             decisions = fetched.mapInPandas(decide, DECISION_SCHEMA).localCheckpoint()
+        if timings is not None and _hop == 0:
+            timings["f_decide"] = round(_t.time() - _t0, 2)
         decision_parts.append(decisions)
         if branch_acc.value == acc_before:
             break
@@ -476,7 +487,7 @@ def run_round(
     # no distinct: the gate is only ever the right side of an anti-join,
     # where duplicates are harmless — saves a 10^10-scale aggregate
     gate_urls = url_seen.select("url").unionByName(pending.select("url"))
-    decision_parts = fetch_and_branch(admitted, gate_urls, ctx, round_)
+    decision_parts = fetch_and_branch(admitted, gate_urls, ctx, round_, timings=timings)
     decisions = decision_parts[0]
     for d in decision_parts[1:]:
         decisions = decisions.unionByName(d)
