@@ -62,6 +62,14 @@ class CrawlConfig:
     # Python decide loop (the two paths are value-identical; the flag
     # exists so the trace suite can prove it).
     vectorized_extract: bool = True
+    # span-free hop-0 fast path (plans/doc_index.py): precompute per-doc
+    # (size, route, resolved links) once per corpus so the round's fetch
+    # joins move narrow columns only and spans are re-joined exactly once
+    # at the crawled_docs write. Requires vectorized_extract; ignored on
+    # the http_fetch path (no docs table to re-join). False = legacy
+    # span-carrying hop (value-identical; flag exists for the trace suite
+    # to prove it and for A/B).
+    use_doc_index: bool = True
     # priority propagation (engine addition; the reference has a single
     # FIFO). When True, a discovered link inherits priority = discovering
     # page's priority + 1 (BFS depth), and the scheduler's (priority, seq)

@@ -103,6 +103,20 @@ class CrawlRun:
             )
         else:
             closure = build_redirect_closure(redirects, config.max_redirects).localCheckpoint()
+        # span-free fast path: per-corpus derived table (plans/doc_index.py),
+        # built once at init — corpus preprocessing, like the closure. On a
+        # cluster this is a parquet/Iceberg table written next to the corpus;
+        # localCheckpoint is its single-JVM analog (narrow columns only).
+        doc_index = None
+        if (
+            not http_fetch
+            and config.vectorized_extract
+            and config.use_doc_index
+            and not (directions or [])
+        ):
+            from crawler_spark.plans.doc_index import build_doc_index
+
+            doc_index = build_doc_index(documents).localCheckpoint()
         self.ctx = RoundContext(
             spark=spark,
             config=config,
@@ -113,6 +127,7 @@ class CrawlRun:
             form_instructions=list(form_instructions or []),
             bloom=bloom,
             http_fetch=http_fetch,
+            doc_index=doc_index,
         )
         self.run_id = "run"
         # driver-held round state, restored from the runs table on resume

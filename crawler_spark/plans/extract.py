@@ -146,7 +146,10 @@ def _resolved_links(final: Column) -> Column:
     return F.transform(link_spans, resolve_struct)
 
 
-def plain_decisions(fetched: DataFrame, cfg) -> DataFrame:
+_SPANS_TYPE = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def plain_decisions(fetched: DataFrame, cfg, links_col: str | None = None) -> DataFrame:
     """Decide-stage output (parse.DECISION_SCHEMA) for plain rows, all
     JVM — value-identical to plans/parse.make_decide on the same rows.
 
@@ -155,6 +158,11 @@ def plain_decisions(fetched: DataFrame, cfg) -> DataFrame:
     spans/links only on store_pass (store_drop stores nothing, marks
     nothing); plain rows never branch, set no cookies (no set_cookie
     span ⇒ share set None, chain set unchanged), and carry no errors.
+
+    links_col: span-free doc-index mode (plans/doc_index.py) — links were
+    precomputed per doc (base = doc_id = final), the rows carry NO spans
+    column, and the decision's spans stay null: the crawled_docs write
+    re-joins them from the documents table (plans/round.py).
     """
     final = _strip_post(F.col("final"))
     # U7 getDomain on a fast-canonical URL = the netloc group (the Python
@@ -164,6 +172,12 @@ def plain_decisions(fetched: DataFrame, cfg) -> DataFrame:
         final, host, list(cfg.url_include_patterns), list(cfg.domain_include_patterns)
     )
     chain_sz = F.coalesce(F.size("chain_cookies"), F.lit(0))
+    spans_out = (
+        F.lit(None).cast(_SPANS_TYPE) if links_col else F.when(included, F.col("spans"))
+    )
+    links_out = F.when(
+        included, F.col(links_col) if links_col else _resolved_links(final)
+    )
     return fetched.select(
         F.col("rank").cast("bigint").alias("rank"),
         F.col("scheduled_url"),
@@ -172,8 +186,8 @@ def plain_decisions(fetched: DataFrame, cfg) -> DataFrame:
         F.lit(None).cast("string").alias("next_url"),
         F.col("hops").cast("int").alias("hops"),
         F.transform("visited", _strip_post).alias("visited"),
-        F.when(included, F.col("spans")).alias("spans"),
-        F.when(included, _resolved_links(final)).alias("links"),
+        spans_out.alias("spans"),
+        links_out.alias("links"),
         F.array().cast("array<struct<kind:string,url:string,message:string>>").alias("errors"),
         F.lit(None).cast("array<string>").alias("cookies"),
         F.when(chain_sz > 0, F.col("chain_cookies")).alias("chain_cookies"),

@@ -53,6 +53,10 @@ class RoundContext:
     # S9 real path: fetch over real sockets (plans/fetch_http.py) instead
     # of the fetch-simulate joins; documents/closure go unused
     http_fetch: bool = False
+    # span-free fast path (plans/doc_index.py): per-corpus derived table
+    # (doc_id, doc_size, route, links) — hop-0 fetch joins move narrow
+    # columns only, spans re-joined once at the crawled_docs write
+    doc_index: DataFrame | None = None
 
 
 def _err(df: DataFrame, kind: str, url_col, message_col, round_: int) -> DataFrame:
@@ -235,6 +239,83 @@ def fetch_and_branch(
             .withColumn("aborted", F.coalesce(F.col("_closure_aborted"), F.lit(False)))
             .drop("_closure_final", "_closure_visited", "_closure_aborted")
         )
+        import time as _t
+
+        if _hop == 0 and ctx.doc_index is not None:
+            # Span-free hop (plans/doc_index.py): join the NARROW derived
+            # table instead of the span-carrying documents — the round's
+            # biggest non-scaling cost was the span memcpy through the
+            # fetch checkpoint (f_mat), which no core count absorbs. Spans
+            # re-enter exactly twice: the (small) routed subset for the
+            # Python decide, and the stored rows at the crawled_docs write
+            # (run_round's re-join) — the output movement that must happen.
+            acc_before = branch_acc.value
+            _t0 = _t.time()
+            idx = ctx.doc_index.withColumnRenamed("doc_id", "final")
+            idx_rel = idx.withColumn("_fk", F.xxhash64("final")).join(
+                F.broadcast(swf.select(F.xxhash64("final").alias("_fk"))),
+                "_fk",
+                "left_semi",
+            ).drop("_fk")
+            fn = (
+                swf.join(idx_rel, "final", "left")
+                .withColumn(
+                    "too_big",
+                    F.coalesce(F.col("doc_size") > F.lit(cfg.max_content_bytes), F.lit(False)),
+                )
+                .withColumn(
+                    "_route",
+                    F.col("aborted")
+                    | F.col("doc_size").isNull()  # no doc ⇒ spans would be null
+                    | F.col("too_big")
+                    | F.coalesce(F.col("route"), F.lit(True)),
+                )
+                .localCheckpoint()
+            )
+            if timings is not None:
+                timings["f_mat"] = round(_t.time() - _t0, 2)
+                _t0 = _t.time()
+            from crawler_spark.plans.extract import plain_decisions
+
+            plain = plain_decisions(
+                fn.where(~F.col("_route")).drop("_route", "doc_size", "route"),
+                cfg,
+                links_col="links",
+            )
+            routed = fn.where(F.col("_route")).drop("_route", "doc_size", "route", "links")
+            docs_sp = ctx.documents.withColumnRenamed("doc_id", "final").select("final", "spans")
+            docs_routed = docs_sp.withColumn("_fk", F.xxhash64("final")).join(
+                F.broadcast(routed.select(F.xxhash64("final").alias("_fk"))),
+                "_fk",
+                "left_semi",
+            ).drop("_fk")
+            decisions = (
+                routed.join(docs_routed, "final", "left")
+                .mapInPandas(decide, DECISION_SCHEMA)
+                .unionByName(plain)
+                .localCheckpoint()
+            )
+            if timings is not None:
+                timings["f_decide"] = round(_t.time() - _t0, 2)
+            decision_parts.append(decisions)
+            if branch_acc.value == acc_before:
+                break
+            state_size = branch_acc.value - acc_before
+            meta_ok = (
+                decisions.where("decision = 'meta'")
+                .join(gate_urls.withColumnRenamed("url", "next_url"), "next_url", "left_anti")
+                .select(*decisions.columns)
+            )
+            hopped = decisions.where("decision in ('direction', 'form')").unionByName(meta_ok)
+            state = hopped.select(
+                "scheduled_url",
+                "rank",
+                F.col("next_url").alias("current_url"),
+                (F.col("hops") + 1).alias("hops"),
+                "chain_cookies",
+            )
+            continue
+
         docs = ctx.documents.withColumnRenamed("doc_id", "final")
         if point_lookup:
             finals = [r["final"] for r in swf.select("final").distinct().collect()]
@@ -563,6 +644,30 @@ def run_round(
         F.lit(round_).alias("round"),
         F.col("rank").cast("int").alias("rank_in_round"),
     )
+    if ctx.doc_index is not None:
+        # span-free fast path: plain stored rows carry spans = null; the
+        # write re-joins them from the documents table by final_url (==
+        # the doc key for every plain row — POSTs and branch chains route
+        # through Python and arrive with spans inline). This is the ONE
+        # full movement of span payloads per round: compressed parquet
+        # scan → stored rows → the crawled write.
+        have = crawled_append.where(F.col("spans").isNotNull())
+        need = crawled_append.where(F.col("spans").isNull()).drop("spans")
+        docs_sp = ctx.documents.select(
+            F.col("doc_id").alias("final_url"), F.col("spans").alias("_dsp")
+        )
+        docs_sp_rel = docs_sp.withColumn("_fk", F.xxhash64("final_url")).join(
+            F.broadcast(need.select(F.xxhash64("final_url").alias("_fk"))),
+            "_fk",
+            "left_semi",
+        ).drop("_fk")
+        rejoined = (
+            need.join(docs_sp_rel, "final_url", "left")
+            .withColumn("spans", F.col("_dsp"))
+            .drop("_dsp")
+            .select(*crawled_append.columns)
+        )
+        crawled_append = have.unionByName(rejoined)
     _submit("crawled_docs", crawled_append)
 
     url_seen_append = _mat("url_seen", completed_append.unionByName(failed_new))
