@@ -25,7 +25,13 @@ from concurrent.futures import Future, ThreadPoolExecutor
 from crawler_spark.bloom import BloomSidecar
 from crawler_spark.config import CrawlConfig
 from crawler_spark.plans.closure import build_redirect_closure
-from crawler_spark.plans.round import RoundContext, _err, admit_candidates, run_round
+from crawler_spark.plans.round import (
+    RoundContext,
+    _err,
+    admit_candidates,
+    pending_frontier,
+    run_round,
+)
 from crawler_spark.tables import Catalog
 from crawler_spark.tables import dir_column as _dir_column
 
@@ -141,6 +147,18 @@ class CrawlRun:
         import threading
 
         self.control_lock = threading.RLock()
+        # control-plane liveness: the reference's readTVarIO endpoints
+        # answer while workers crawl, so status/queueSize serve from
+        # driver-held snapshot fields updated at round boundaries (never
+        # the round-long control_lock), and addUrl/addUrlIncludePattern
+        # buffer into lists drained at the next boundary
+        self.snapshot_lock = threading.Lock()
+        self.pending_queue = 0
+        self._buffered_add_urls: list[str] = []
+        self._buffered_patterns: list[str] = []
+        self.status_snapshot = {
+            "status": "unstarted", "round": -1, "stored_total": 0, "queue_size": 0,
+        }
         # cluster path: per-bucket bitmap rebuild executor-side
         # (bloom.merge_dir_distributed); driver-side merge of the round
         # delta is faster in local mode and byte-identical
@@ -185,6 +203,8 @@ class CrawlRun:
         self._commit_run_row(-1, pending=n_new)
         if self.ctx.bloom is not None:
             self.ctx.bloom.merge_hashes([], -1)  # empty baseline manifest
+        self.pending_queue = n_new
+        self._update_snapshot("running", -1)
 
     def _commit_run_row(self, round_: int, pending: int) -> None:
         # driver-local pyarrow write — a one-row bookkeeping append should
@@ -213,7 +233,53 @@ class CrawlRun:
             self.stored_total = last[0]["stored_total"]
         jar = [r_["cookie"] for r_ in self.catalog.session_state.read(self.spark).select("cookie").collect()]
         self.ctx.cookie_jar = frozenset(jar)
+        # one Spark count at resume time re-seeds the boundary-maintained
+        # queue-size snapshot
+        self.pending_queue = pending_frontier(
+            self.catalog.frontier.read(self.spark), self.catalog.scheduled.read(self.spark)
+        ).count()
+        self._update_snapshot("running", self.round - 1)
         return r
+
+    # -- control-plane snapshot + buffers (service_http liveness) ------------
+    def _update_snapshot(self, status: str, round_: int) -> None:
+        with self.snapshot_lock:
+            self.status_snapshot = {
+                "status": status,
+                "round": round_,
+                "stored_total": self.stored_total,
+                "queue_size": self.pending_queue,
+            }
+
+    def control_snapshot(self) -> dict:
+        """Lock-cheap view for status/queueSize endpoints — never blocks
+        on the round loop (readTVarIO liveness parity)."""
+        with self.snapshot_lock:
+            return dict(self.status_snapshot)
+
+    def enqueue_add_url(self, url: str) -> None:
+        """POST /addUrl analog: buffered, admitted at the next boundary."""
+        with self.snapshot_lock:
+            self._buffered_add_urls.append(url)
+
+    def enqueue_include_pattern(self, pattern: str) -> None:
+        with self.snapshot_lock:
+            self._buffered_patterns.append(pattern)
+
+    def _drain_control_buffers(self) -> None:
+        with self.snapshot_lock:
+            urls, self._buffered_add_urls = self._buffered_add_urls, []
+            pats, self._buffered_patterns = self._buffered_patterns, []
+        if pats or urls:
+            from crawler_spark import service
+
+            for p in pats:
+                service.add_url_include_pattern(self, p)
+            if urls:
+                n = service.add_urls(self, urls)
+                with self.snapshot_lock:
+                    self.pending_queue += n
+                    self.status_snapshot["queue_size"] = self.pending_queue
 
     # -- the loop ------------------------------------------------------------
     def run(self, max_rounds: int | None = None) -> int:
@@ -239,6 +305,7 @@ class CrawlRun:
     def _run_one_round_locked(self) -> bool:
         import time
 
+        self._drain_control_buffers()
         spark, cat, round_ = self.spark, self.catalog, self.round
         timings: dict | None = {} if os.environ.get("SPARK_GRAFT_TIMING") else None
         frontier = cat.frontier.read(spark)
@@ -293,6 +360,8 @@ class CrawlRun:
         self.next_seq += counts["new_frontier"]
         self._commit_run_row(round_, -1)
         self.round += 1
+        self.pending_queue += counts["new_frontier"] - counts["admitted"]
+        self._update_snapshot("running", round_)
         if timings is not None:
             timings["commit"] = round(time.time() - t0, 2)
             self.timings = timings

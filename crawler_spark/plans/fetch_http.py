@@ -87,6 +87,33 @@ def _doc_size(spans) -> int:
     return sum(len(s.get("text") or "") + len(s.get("media_ref") or "") for s in spans)
 
 
+def _validate_spans(obj):
+    """Coerce server-supplied JSON into the span schema, or None on any
+    mismatch. json.loads accepts ANY valid JSON; without this, a hostile
+    or buggy server returning wrong-typed span fields (e.g.
+    {"kind": 123, "offset": "zero"}) would crash the mapInPandas Arrow
+    conversion against HTTP_FETCH_SCHEMA and abort the whole fetch stage
+    — schema violations must stay row-local failed fetches."""
+    if not isinstance(obj, list):
+        return None
+    out = []
+    for s in obj:
+        if not isinstance(s, dict):
+            return None
+        kind, text = s.get("kind"), s.get("text")
+        media_ref, offset = s.get("media_ref"), s.get("offset")
+        if kind is not None and not isinstance(kind, str):
+            return None
+        if text is not None and not isinstance(text, str):
+            return None
+        if media_ref is not None and not isinstance(media_ref, str):
+            return None
+        if offset is not None and (isinstance(offset, bool) or not isinstance(offset, int)):
+            return None
+        out.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": offset})
+    return out
+
+
 def make_http_fetch(config, cookie_jar: frozenset, max_workers: int = 32, timeout: float = 30.0):
     """Returns a mapInPandas function over hop-state batches.
 
@@ -164,14 +191,27 @@ def make_http_fetch(config, cookie_jar: frozenset, max_workers: int = 32, timeou
                 if clen is not None and int(clen) > wire_cap:
                     return (current, visited, False, None, True)
                 body = resp.read(wire_cap + 1)
-                too_big = len(body) > wire_cap
+                if len(body) > wire_cap:
+                    # oversized body with no Content-Length header: same
+                    # "Content too large" disposition as the precheck —
+                    # parsing the truncated JSON would demote this to a
+                    # generic fetch failure and diverge from fetch-sim
+                    return (current, visited, False, None, True)
                 # === production seam: HTML → spans conversion goes here ===
-                # the fixture serves span-document JSON directly
-                spans = json.loads(body[:wire_cap])
+                # (html_to_spans handles text/html; the fixture serves
+                # span-document JSON directly)
+                ctype = (resp.headers.get("Content-Type") or "").split(";")[0].strip().lower()
+                if ctype == "text/html":
+                    from crawler_spark.html_spans import html_to_spans
+
+                    spans = html_to_spans(body.decode("utf-8", errors="replace"))
+                else:
+                    spans = _validate_spans(json.loads(body))
+                if spans is None:
+                    return (current, visited, False, None, False)
                 # simulator's span-size bound — the BINDING content cap, so
                 # HTTP traces match fetch-sim
-                too_big = too_big or _doc_size(spans) > max_bytes
-                return (current, visited, False, spans, too_big)
+                return (current, visited, False, spans, _doc_size(spans) > max_bytes)
             except Exception:
                 return (current, visited, False, None, False)
             finally:

@@ -18,12 +18,13 @@ daemon thread next to the driver loop:
   POST /stop                   → null (halting-status flag; the round
                                  loop exits at the next boundary)
 
-Mutating verbs serialize against the round loop through
-`CrawlRun.control_lock` — the analog of the reference's STM atomicity:
-an addUrl admission never interleaves with a round's staged commits.
-Spark job submission from the listener thread is safe (the driver
-supports concurrent jobs); reads (status/queueSize) take the lock too so
-they see a committed boundary, mirroring readTVarIO consistency.
+Liveness parity with the reference's readTVarIO-backed endpoints (they
+answer immediately while workers crawl): status and queueSize serve from
+the driver-held boundary snapshot (`CrawlRun.control_snapshot`), never
+the round-long `control_lock`; addUrl / addUrlIncludePattern buffer into
+driver lists drained at the next round boundary inside the lock — an
+admission still never interleaves with a round's staged commits, but the
+listener replies in microseconds even mid-round.
 """
 
 from __future__ import annotations
@@ -74,17 +75,18 @@ class ControlServer:
                 self.wfile.write(body)
 
             def do_GET(self):  # noqa: N802
-                r, lock = outer.run, outer.run.control_lock
+                r = outer.run
                 if self.path == "/status":
-                    with lock:
-                        self._reply(200, service.run_status(r, r.spark))
+                    s = r.control_snapshot()
+                    self._reply(
+                        200, {k: s[k] for k in ("status", "round", "stored_total")}
+                    )
                 elif self.path == "/workerStatus":
                     self._reply(200, worker_status_strings(r))
                 elif self.path.startswith("/queueSize/"):
                     name = self.path.rsplit("/", 1)[1]
                     if name == "UrlQueue":
-                        with lock:
-                            self._reply(200, service.queue_size(r, r.spark))
+                        self._reply(200, r.control_snapshot()["queue_size"])
                     elif name in ("StoreQueue", "ErrorQueue"):
                         self._reply(200, 0)
                     else:
@@ -93,7 +95,7 @@ class ControlServer:
                     self._reply(404, {"error": "not found"})
 
             def do_POST(self):  # noqa: N802
-                r, lock = outer.run, outer.run.control_lock
+                r = outer.run
                 n = int(self.headers.get("Content-Length") or 0)
                 try:
                     body = json.loads(self.rfile.read(n) or b"null")
@@ -102,19 +104,19 @@ class ControlServer:
                 if self.path == "/addUrl":
                     if not isinstance(body, str):
                         return self._reply(400, {"error": "expected a JSON string"})
-                    with lock:
-                        added = service.add_urls(r, [body])
-                    if added == 0 and not _would_canonicalize(body):
-                        # Service.hs:70-72 err400 body, verbatim prefix
+                    if not _would_canonicalize(body):
+                        # Service.hs:70-72 err400 body, verbatim prefix —
+                        # the canonicalize check is the reference's only
+                        # 400 path, and it's pure Python (no lock, no job)
                         return self._reply(
                             400, None, raw=f"Could not understand url: {body}".encode()
                         )
+                    r.enqueue_add_url(body)
                     self._reply(200, None)
                 elif self.path == "/addUrlIncludePattern":
                     if not isinstance(body, str):
                         return self._reply(400, {"error": "expected a JSON string"})
-                    with lock:
-                        service.add_url_include_pattern(r, body)
+                    r.enqueue_include_pattern(body)
                     self._reply(200, None)
                 elif self.path == "/stop":
                     service.request_stop(r)

@@ -19,7 +19,9 @@ Config JSON:
   "warc_out": ".../warc",                     (S8/S11: -wf, optional export)
   "http_fetch": false,                        (S9 real path: real sockets)
   "proxy": "addr:port",                       (S6: -p; real path only)
-  "ignore_bad_https_certs": true              (Settings.hs:14-15)
+  "ignore_bad_https_certs": false             (Settings.hs:14-15; the
+      reference hardcodes True — set true explicitly for parity; the CLI
+      defaults to certificate verification ON, matching CrawlConfig)
 }
 
 With "http_fetch": true the documents/redirects tables are not read —
@@ -76,7 +78,7 @@ def main() -> None:
         max_rounds=int(conf.get("max_rounds", 1000)),
         respect_robots=bool(conf.get("respect_robots", True)),
         proxy=conf.get("proxy"),
-        ignore_bad_https_certs=bool(conf.get("ignore_bad_https_certs", True)),
+        ignore_bad_https_certs=bool(conf.get("ignore_bad_https_certs", False)),
     )
 
     empty_redirects = spark.createDataFrame([], "src_url string, dst_url string, status_code int")

@@ -106,3 +106,62 @@ class SyntheticWebServer:
     def __exit__(self, *exc):
         self.server.shutdown()
         self.server.server_close()
+
+
+class HtmlWebServer:
+    """Proxy-style server for REAL tag-soup pages (Content-Type:
+    text/html), exercising the HTML→spans production seam in
+    plans/fetch_http.py. `pages` maps absolute URL (or POST fetch key
+    `action\\x00body`) → HTML string; `redirects` maps URL → Location."""
+
+    def __init__(self, pages: dict, redirects: dict | None = None):
+        redirects = dict(redirects or {})
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def _serve(self, key: str):
+                if key in redirects:
+                    self.send_response(301)
+                    self.send_header("Location", redirects[key])
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                html = pages.get(key)
+                if html is None:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                body = html.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802
+                self._serve(self.path)
+
+            def do_POST(self):  # noqa: N802
+                n = int(self.headers.get("Content-Length") or 0)
+                self._serve(self.path + "\x00" + self.rfile.read(n).decode())
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+
+    @property
+    def proxy_addr(self) -> str:
+        host, port = self.server.server_address
+        return f"{host}:{port}"
+
+    def __enter__(self):
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()
