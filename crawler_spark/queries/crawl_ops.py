@@ -705,3 +705,84 @@ ORACLE_SESSION_COLLECT = """
 
 QUERIES["session_collect"] = q_session_collect
 ORACLES["session_collect"] = ORACLE_SESSION_COLLECT
+
+
+# ---------------------------------------------------------------------------
+# S11: WARC serialization as a driver gate (src/WarcDocument.hs:17-45) —
+# synthesizes deterministic crawled-doc rows from `documents` (every 4th
+# doc reached through a redirect, so chain-last != final URL for those),
+# runs the REAL to_warc_records plan, and emits the full serialized
+# record for byte-exact comparison against a DuckDB string assembly.
+# ---------------------------------------------------------------------------
+
+def q_warc_records(spark, sf_dir):
+    from crawler_spark.warc import to_warc_records
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("http://h"), (F.col("doc_id") % 53).cast("string"),
+                    F.lit(".example.org"))
+    url = F.concat(host, F.lit("/d"), F.col("doc_id").cast("string"))
+    requested = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(host, F.lit("/r"), F.col("doc_id").cast("string")),
+    ).otherwise(url)
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"), F.col("text").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("media").alias("kind"), F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("/img"), F.col("doc_id").cast("string"),
+                     F.lit(".png")).alias("media_ref"),
+            F.lit(1).cast("int").alias("offset"),
+        ),
+    )
+    crawled = d.select(
+        requested.alias("url"),
+        url.alias("final_url"),
+        F.when(F.col("doc_id") % 4 == 0, F.array(url, requested))
+        .otherwise(F.array(url)).alias("redirect_chain"),
+        spans.alias("spans"),
+        F.lit(0).cast("int").alias("round"),
+        F.col("doc_id").alias("rank_in_round"),
+    )
+    return (
+        to_warc_records(crawled)
+        .select(F.col("rank_in_round").alias("doc_id"), "warc_record")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_WARC_RECORDS = r"""
+    WITH d AS (
+      SELECT doc_id,
+             'http://h' || CAST(doc_id % 53 AS VARCHAR) || '.example.org/d'
+                 || CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'http://h' || CAST(doc_id % 53 AS VARCHAR)
+                       || '.example.org/r' || CAST(doc_id AS VARCHAR)
+                  ELSE 'http://h' || CAST(doc_id % 53 AS VARCHAR)
+                       || '.example.org/d' || CAST(doc_id AS VARCHAR)
+             END AS requested,
+             text || e'\n' || '/img' || CAST(doc_id AS VARCHAR) || '.png' AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           'WARC/1.0' || e'\r\n'
+           || 'Compression-Mode: uncompressed' || e'\r\n'
+           || 'Content-Length: ' || CAST(strlen(body) AS VARCHAR) || e'\r\n'
+           || 'Original-Content-Length: ' || CAST(strlen(body) AS VARCHAR) || e'\r\n'
+           || 'Uncompressed-Content-Length: ' || CAST(strlen(body) AS VARCHAR) || e'\r\n'
+           || 'WARC-Record-ID: <urn:uuid:' || md5(requested) || '>' || e'\r\n'
+           || 'WARC-Target-URI: ' || requested || e'\r\n'
+           || 'WARC-Type: response' || e'\r\n'
+           || 'WARC-Date: 1970-01-01T00:00:00Z' || e'\r\n'
+           || 'Content-Type: application/http; msgtype=response' || e'\r\n'
+           || e'\r\n' || body || e'\r\n' || e'\r\n' AS warc_record
+    FROM d ORDER BY doc_id
+"""
+
+QUERIES["warc_records"] = q_warc_records
+ORACLES["warc_records"] = ORACLE_WARC_RECORDS

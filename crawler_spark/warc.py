@@ -3,16 +3,26 @@
 Reimplements the reference's WARC serialization semantics
 (src/WarcDocument.hs:17-45) over the `crawled_docs` table, JVM-side:
 
-- WARC-Record-ID and WARC-Target-URI use the *originally requested* URL —
-  the LAST element of the redirect chain (src/WarcDocument.hs:27; chain
-  conventions src/Fetch.hs:40-43)
-- body = the reference's raw page bytes ≙ our span sequence, rendered
-  deterministically (text spans verbatim; media spans as their media_ref;
-  forms/meta as their payload) in offset order
-- Content-Length = byte length of the rendered body (the reference writes
-  the length three ways — uncompressed/compressed/header — we emit the
-  uncompressed one, matching its uncompressed output path)
-- WARC-Type: response; record separator = CRLF CRLF (WARC/1.0 §4)
+Field-for-field against the reference's header list
+(src/WarcDocument.hs:22-37):
+
+  ver                       → "WARC/1.0" leader
+  compressionMode           → Compression-Mode: uncompressed
+  contentLength             → Content-Length (body bytes)
+  originalContentLength     → Original-Content-Length (same — uncompressed
+  uncompressedContentLength → Uncompressed-Content-Length   output path)
+  warcRecordId              → WARC-Record-ID (from the *originally
+                              requested* URL — chain LAST, WarcDocument.hs:27;
+                              chain conventions src/Fetch.hs:40-43; rendered
+                              as <urn:uuid:md5(url)> for WARC/1.0 shape)
+  warcTargetURI             → WARC-Target-URI (same URL, verbatim)
+  warcType                  → WARC-Type: response
+
+plus WARC-Date and Content-Type (WARC/1.0 §4 requires them; the
+reference's warc library omits them — documented addition). body = the
+reference's raw page bytes ≙ our span sequence rendered deterministically
+(text spans verbatim; media spans as their media_ref; forms/meta as their
+payload) in offset order; record separator = CRLF CRLF.
 
 The record column is built with Catalyst string expressions — no UDF —
 and written with `spark.write.text`, one record per line-group.
@@ -48,20 +58,23 @@ def to_warc_records(crawled_docs: DataFrame, fetch_ts: str = "1970-01-01T00:00:0
     (round, rank_in_round, warc_record: string)."""
     requested = F.element_at(F.col("redirect_chain"), -1)  # chain last = requested
     body = _render_body(F.col("spans"))
+    blen = F.octet_length(body).cast("string")  # C8.length = bytes
     record = F.concat(
         F.lit("WARC/1.0" + _CRLF),
-        F.lit("WARC-Type: response" + _CRLF),
+        F.lit("Compression-Mode: uncompressed" + _CRLF),
+        F.lit("Content-Length: "), blen, F.lit(_CRLF),
+        F.lit("Original-Content-Length: "), blen, F.lit(_CRLF),
+        F.lit("Uncompressed-Content-Length: "), blen, F.lit(_CRLF),
         F.lit("WARC-Record-ID: <urn:uuid:"),
         F.md5(requested),  # deterministic id from the requested URL
         F.lit(">" + _CRLF),
         F.lit("WARC-Target-URI: "),
         requested,
         F.lit(_CRLF),
+        F.lit("WARC-Type: response" + _CRLF),
         F.lit(f"WARC-Date: {fetch_ts}" + _CRLF),
         F.lit("Content-Type: application/http; msgtype=response" + _CRLF),
-        F.lit("Content-Length: "),
-        F.length(body).cast("string"),
-        F.lit(_CRLF + _CRLF),
+        F.lit(_CRLF),
         body,
         F.lit(_CRLF + _CRLF),
     )
