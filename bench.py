@@ -84,8 +84,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def crawl_bench(cpus: int) -> dict:
-    """Seed → N_ROUNDS crawl rounds on local[cpus]; returns throughput."""
+def crawl_bench(cpus: int, scheduler_mode: str = "budget", n_rounds: int = N_ROUNDS) -> dict:
+    """Seed → n_rounds crawl rounds on local[cpus]; returns throughput."""
     os.environ.setdefault("SPARK_GRAFT_TIMING", "1")  # per-phase round laps
     from pyspark.sql import SparkSession
 
@@ -120,8 +120,9 @@ def crawl_bench(cpus: int) -> dict:
             domain_include_patterns=("example.org",),
             per_host_budget=PER_HOST_BUDGET,
             scheduler_salts=8,
+            scheduler_mode=scheduler_mode,
         )
-        state = os.path.join(BENCH_STATE, f"cpus{cpus}")
+        state = os.path.join(BENCH_STATE, f"cpus{cpus}_{scheduler_mode}")
         shutil.rmtree(state, ignore_errors=True)
         # distributed bloom merge: the cluster path (executor-side bucket
         # rebuilds) — scales with cores instead of a fixed driver-side cost
@@ -136,7 +137,7 @@ def crawl_bench(cpus: int) -> dict:
         # work, wildly different walls; total-wall numbers are reported
         # alongside so nothing is hidden
         round_walls = []
-        for _ in range(N_ROUNDS):
+        for _ in range(n_rounds):
             t0 = time.time()
             if not run.run_one_round():
                 break
@@ -311,6 +312,10 @@ def main():
     efficiency = round(eff_of(low, high), 3)
     attempt_efficiencies = [round(eff_of(*p), 3) for p in pairs]
     peak = crawl_bench(min(32, cpus))
+    # VERDICT r2 #5 done-criterion: the virtual-time politeness scheduler
+    # exercised in one bench round (semantics gated by the timing
+    # trace-equivalence test; this records its throughput shape)
+    timing_round = crawl_bench(8, scheduler_mode="timing", n_rounds=1)
     probe_after = cpu_probe(2, 8)
     ceiling = max(probe_before["ceiling_efficiency"], probe_after["ceiling_efficiency"])
     eff_normalized = round(efficiency / ceiling, 3) if ceiling else None
@@ -345,6 +350,7 @@ def main():
             "efficiency_probe_normalized": eff_normalized,
         },
         "decide_bench": decide,
+        "timing_mode_round": timing_round,
         "total_bench_sec": round(time.time() - t_all, 1),
     }
 
@@ -434,6 +440,7 @@ def main():
             "efficiency_probe_normalized": eff_normalized,
         },
         "decide_rows_per_sec_core": (decide or {}).get("decide_rows_per_sec_core"),
+        "timing_mode_urls_per_sec": timing_round["urls_per_sec"],
         "laps_high_best_round": lap_best,
         "total_bench_sec": round(time.time() - t_all, 1),
         "detail": "BENCH/BENCH_full.json",

@@ -34,6 +34,15 @@ class CrawlConfig:
     max_interaction_hops: int = 5
     # scheduler skew handling (SURVEY.md P6): two-phase salted window
     scheduler_salts: int = 8
+    # P7+: "budget" = per-host count truncation (host_budget); "timing" =
+    # virtual-time politeness — the r-th fetch on a host departs at
+    # (r-1)*crawl_delay seconds of virtual round time, only departures
+    # inside the round window are admitted, and the GLOBAL fetch order is
+    # by departure time (crawl_logic.timing_eta_ms; the green
+    # schedule_timing query's semantics wired into the round loop)
+    scheduler_mode: str = "budget"
+    # timing-mode round window; None = per_host_budget seconds
+    round_window_ms: int | None = None
     max_rounds: int = 1000
     # robots evaluation is a north_rule addition (absent in reference)
     respect_robots: bool = True

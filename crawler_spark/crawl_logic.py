@@ -239,6 +239,29 @@ def host_budget(per_host_budget: int, crawl_delay: float | None) -> int:
     return max(1, per_host_budget)
 
 
+# -- virtual-time politeness (scheduler_mode="timing", SURVEY.md P7+) -------
+# The round window is per_host_budget seconds of virtual time; the r-th
+# fetch on a host departs at (r-1)*delay seconds and is admitted iff its
+# departure falls inside the window. Global fetch order is by departure
+# time — the order a wall-clock scheduler would actually issue requests.
+# Shared by the engine (plans/round.schedule) and the simulator so trace
+# equivalence is exact by construction.
+
+def host_delay_s(crawl_delay: float | None) -> float:
+    """Effective per-fetch delay: robots crawl_delay when > 1s, else the
+    1-fetch-per-virtual-second default (mirrors host_budget's gate)."""
+    if crawl_delay is not None and crawl_delay == crawl_delay and crawl_delay > 1.0:
+        return float(crawl_delay)
+    return 1.0
+
+
+def timing_eta_ms(host_rank: int, crawl_delay: float | None) -> int:
+    """Virtual departure timestamp of a host's r-th fetch (1-based).
+    Same double arithmetic order as the engine column
+    ((r-1) * delay * 1000, truncating cast) so values match bit-exactly."""
+    return int((host_rank - 1) * host_delay_s(crawl_delay) * 1000)
+
+
 def include_match(url: str, host: str | None, url_patterns, domain_patterns) -> bool:
     """F1 (Crawl.hs:214-228): any url-pattern substring of the URL OR any
     domain-pattern substring of the domain; empty pattern sets ⇒ False."""

@@ -70,6 +70,15 @@ def host_budget_col(per_host_budget: int, crawl_delay: Column) -> Column:
     )
 
 
+def host_delay_col(crawl_delay: Column) -> Column:
+    """crawl_logic.host_delay_s parity: robots crawl_delay when > 1s,
+    else 1.0 (virtual-time politeness, scheduler_mode='timing')."""
+    return F.when(
+        crawl_delay.isNotNull() & ~F.isnan(crawl_delay) & (crawl_delay > 1.0),
+        crawl_delay.cast("double"),
+    ).otherwise(F.lit(1.0))
+
+
 def ws_trim_col(col):
     """Whitespace trim matching Python str.strip() — the reference's trim
     (src/Shared.hs:41-42) removes all whitespace, while Spark's F.trim

@@ -83,6 +83,7 @@ def schedule(pending: DataFrame, ctx: RoundContext, max_seq: int | None = None) 
     within host exactly. Identical result to a single per-host window, but
     the heavy sort never sees more than (budget × salts) rows per host."""
     cfg = ctx.config
+    timing = cfg.scheduler_mode == "timing"
     # politeness crawl_delay divides the budget whenever a robots table is
     # present — independent of respect_robots, which gates only
     # allow/disallow (politeness ≠ access rules; simulator._budget parity)
@@ -91,7 +92,19 @@ def schedule(pending: DataFrame, ctx: RoundContext, max_seq: int | None = None) 
         pending = pending.join(F.broadcast(delays), "host", "left")
     else:
         pending = pending.withColumn("crawl_delay", F.lit(None).cast("double"))
-    pending = pending.withColumn("budget", X.host_budget_col(cfg.per_host_budget, F.col("crawl_delay")))
+    if timing:
+        # P7+ virtual-time mode: admit by departure time inside the round
+        # window (crawl_logic.timing_eta_ms semantics — the green
+        # schedule_timing query wired into the round). The two-phase cap
+        # is a safe OVER-estimate; the exact gate is the eta filter below.
+        window_ms = cfg.round_window_ms or cfg.per_host_budget * 1000
+        pending = pending.withColumn("_delay_s", X.host_delay_col(F.col("crawl_delay")))
+        cap = (F.ceil(F.lit(float(window_ms)) / (F.col("_delay_s") * 1000.0)) + 1).cast("int")
+        pending = pending.withColumn("budget", cap)
+    else:
+        pending = pending.withColumn(
+            "budget", X.host_budget_col(cfg.per_host_budget, F.col("crawl_delay"))
+        )
 
     salt = F.pmod(F.col("url_hash"), F.lit(cfg.scheduler_salts))
     phase1 = pending.withColumn(
@@ -100,19 +113,32 @@ def schedule(pending: DataFrame, ctx: RoundContext, max_seq: int | None = None) 
             Window.partitionBy("host_hash", salt).orderBy("priority", "seq")
         ),
     ).where(F.col("_r1") <= F.col("budget"))
-    admitted = (
-        phase1.withColumn(
-            "_r2",
-            F.row_number().over(Window.partitionBy("host_hash").orderBy("priority", "seq")),
-        )
-        .where(F.col("_r2") <= F.col("budget"))
-        .drop("_r1", "_r2", "budget", "crawl_delay", "status", "discovered_round")
+    admitted = phase1.withColumn(
+        "_r2",
+        F.row_number().over(Window.partitionBy("host_hash").orderBy("priority", "seq")),
+    )
+    if timing:
+        # same double arithmetic order as crawl_logic.timing_eta_ms
+        admitted = admitted.withColumn(
+            "eta_ms",
+            ((F.col("_r2") - 1) * F.col("_delay_s") * 1000).cast("bigint"),
+        ).where(F.col("eta_ms") < window_ms)
+    else:
+        admitted = admitted.where(F.col("_r2") <= F.col("budget"))
+    admitted = admitted.drop(
+        "_r1", "_r2", "_delay_s", "budget", "crawl_delay", "status", "discovered_round"
     )
     # materialize_input: the anti-join + double window above would
     # otherwise run twice (range-partitioner sampling pass + shuffle).
     # max_seq (every frontier seq is < the driver's next_seq counter)
     # switches global_rank to deterministic (priority, seq-range)
     # bucketing — no range-sampling job, no second checkpoint
+    if timing:
+        # fetch order = departure order; eta domain is data-dependent, so
+        # timing mode keeps the range-sampling ranker
+        return global_rank(
+            admitted, ["eta_ms", "priority", "seq"], "rank", materialize_input=True
+        ).drop("eta_ms")
     bucket = (
         rank_bucket(F.col("seq"), max_seq, major=F.col("priority"))
         if max_seq else None

@@ -250,16 +250,41 @@ class Simulator:
         self.res.frontier_remaining = list(self.frontier)
         return self.res
 
+    def _host_delay(self, host: str) -> float | None:
+        rule = self.robots.get(host)
+        if rule is None:
+            return None
+        delay = rule.get("crawl_delay")
+        if delay is not None and delay != delay:  # NaN from parquet
+            delay = None
+        return delay
+
     def _run_round(self, round_: int) -> None:
-        # P2/P3: per-host FIFO truncation to budget, then global rank
+        # P2/P3: per-host FIFO truncation to budget, then global rank;
+        # scheduler_mode="timing" admits by virtual departure time inside
+        # the round window and orders globally by departure
+        # (crawl_logic.timing_eta_ms — shared with plans/round.schedule)
+        timing = getattr(self.cfg, "scheduler_mode", "budget") == "timing"
+        window_ms = self.cfg.round_window_ms or self.cfg.per_host_budget * 1000
         by_host: dict[str, list[dict]] = {}
         for row in self.frontier:
             by_host.setdefault(row["host"], []).append(row)
         admitted: list[dict] = []
         for host, rows in by_host.items():
             rows.sort(key=lambda r: (r["priority"], r["seq"]))
-            admitted.extend(rows[: self._budget(host)])
-        admitted.sort(key=lambda r: (r["priority"], r["seq"]))
+            if timing:
+                delay = self._host_delay(host)
+                for i, r in enumerate(rows, start=1):
+                    eta = cl.timing_eta_ms(i, delay)
+                    if eta >= window_ms:
+                        break
+                    admitted.append(dict(r, _eta=eta))
+            else:
+                admitted.extend(rows[: self._budget(host)])
+        if timing:
+            admitted.sort(key=lambda r: (r["_eta"], r["priority"], r["seq"]))
+        else:
+            admitted.sort(key=lambda r: (r["priority"], r["seq"]))
 
         admitted_urls = {r["url"] for r in admitted}
         pending_at_start = {r["url"] for r in self.frontier}

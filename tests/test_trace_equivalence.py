@@ -340,3 +340,37 @@ def test_chain_local_cookie_unlocks_gated_page(spark, tmp_state):
     # the final hop's responseCookies \\ cookiesSent)
     assert [r["cookie"] for r in sim_res.session_state] == []
     assert_equivalent(spark, sim_res, run)
+
+
+def test_timing_scheduler_equivalence(spark, tmp_state):
+    """scheduler_mode='timing' (P7+ virtual-time politeness wired into
+    the round loop): admission by departure time inside the round window
+    and GLOBAL fetch order by (eta, priority, seq) must match the
+    simulator exactly — including hosts with crawl_delay > 1 whose
+    departures interleave differently than budget mode's (priority, seq)
+    order would."""
+    web = generate(n_docs=60, n_hosts=8, seed=13, n_redirects=5)
+    assert web["robots_rules"]["crawl_delay"].notna().any()  # delays exist
+    config = CrawlConfig(
+        seeds=tuple(web["seeds"]["url"]),
+        domain_include_patterns=("example.org",),
+        per_host_budget=3,
+        scheduler_mode="timing",
+    )
+    sim, sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=6)
+    assert len(sim_res.fetch_order) > 10
+    assert_equivalent(spark, sim_res, run)
+
+    # the mode actually changes the schedule: budget mode on the same web
+    # produces a different fetch order (delayed hosts interleave earlier
+    # in timing order than the seq-grouped budget order)
+    import dataclasses
+
+    from crawler_spark.simulator import Simulator
+
+    sim_b = Simulator(web, dataclasses.replace(config, scheduler_mode="budget"))
+    sim_b.seed(list(config.seeds))
+    res_b = sim_b.run(max_rounds=6)
+    assert [u for (_, _, u) in res_b.fetch_order] != [
+        u for (_, _, u) in sim_res.fetch_order
+    ]
