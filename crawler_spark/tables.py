@@ -173,14 +173,22 @@ class SnapshotTable:
 
 
 class Catalog:
-    """All engine state tables rooted at one directory."""
+    """All engine state tables rooted at one directory.
 
-    def __init__(self, root: str):
+    `table_factory` is the catalog seam: anything honoring the
+    SnapshotTable interface (append/stage/commit_staged/read/read_dir/
+    overwrite/rollback_to_round/lineage/append_local) plugs in — the
+    contract suite (tests/test_table_contract.py) runs the SAME
+    assertions against this parquet model and an in-memory double, so an
+    Iceberg catalog adapter is a test-guided drop-in."""
+
+    def __init__(self, root: str, table_factory=None):
         from crawler_spark.schema import ALL_TABLES
 
+        factory = table_factory or SnapshotTable
         self.root = root
         os.makedirs(root, exist_ok=True)
-        self.tables = {name: SnapshotTable(root, name, schema) for name, schema in ALL_TABLES.items()}
+        self.tables = {name: factory(root, name, schema) for name, schema in ALL_TABLES.items()}
 
     def __getattr__(self, name: str) -> SnapshotTable:
         try:
