@@ -161,8 +161,60 @@ def dedup_stream_tws(candidates: DataFrame, n_buckets: int = 32) -> DataFrame:
     )
 
 
+def kafka_candidates(records: DataFrame) -> DataFrame:
+    """Kafka records → URL candidates: `CAST(value AS STRING) AS url`
+    plus the deterministic arrival hash (a stream has no meaningful
+    within-batch order — files/partitions race — so a value hash makes
+    the per-batch FIFO seq assignment reproducible across retries).
+    Works on any DataFrame with Kafka's (value: binary) column shape,
+    batch or streaming."""
+    return records.select(F.expr("CAST(value AS STRING)").alias("url")).select(
+        "url", F.xxhash64("url").alias("arrival")
+    )
+
+
+def build_candidate_source(spark: SparkSession, source: dict) -> DataFrame:
+    """Config-driven streaming source → (url, arrival) candidates.
+
+    {"format": "text",  "path": dir}                      — tested default
+    {"format": "kafka", "options": {"kafka.bootstrap.servers": ...,
+                                    "subscribe": "crawl-candidates"}}
+        — the production path; requires the spark-sql-kafka package on
+          the cluster (not in this container)
+    {"format": "kafka-fixture", "options": {rate opts},
+     "url_prefix": "http://..."} — the rate source shaped into Kafka's
+        (value: binary) schema, so the EXACT kafka_candidates projection
+        runs jar-free; the tested stand-in for the kafka path.
+
+    Everything downstream (stateful dedup, foreachBatch admission,
+    checkpointing) is source-agnostic.
+    """
+    fmt = source.get("format", "text")
+    options = dict(source.get("options", {}))
+    if fmt == "text":
+        raw = spark.readStream.format("text").options(**options).load(source["path"])
+        return raw.select(
+            F.col("value").alias("url"), F.xxhash64("value").alias("arrival")
+        )
+    if fmt == "kafka":
+        reader = spark.readStream.format("kafka")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return kafka_candidates(reader.load())
+    if fmt == "kafka-fixture":
+        rate = spark.readStream.format("rate").options(**options).load()
+        shaped = rate.select(
+            F.encode(
+                F.concat(F.lit(source["url_prefix"]), F.col("value").cast("string")),
+                "utf-8",
+            ).alias("value")
+        )
+        return kafka_candidates(shaped)
+    raise ValueError(f"unknown candidate source format: {fmt}")
+
+
 class StreamingIngest:
-    """Wires a URL text stream into a CrawlRun's frontier."""
+    """Wires a URL candidate stream into a CrawlRun's frontier."""
 
     def __init__(self, run: CrawlRun, n_buckets: int = 32):
         self.run = run
@@ -208,12 +260,15 @@ class StreamingIngest:
 
     def start(
         self,
-        input_dir: str,
-        checkpoint_dir: str,
+        input_dir: str | None = None,
+        checkpoint_dir: str = "",
         available_now: bool = True,
         use_tws: bool = False,
+        source: dict | None = None,
     ):
-        """Consume `input_dir` text files (one URL per line). With
+        """Consume a candidate stream. Default source: `input_dir` text
+        files (one URL per line); pass `source` (build_candidate_source
+        config) for kafka / kafka-fixture instead. With
         available_now=True the query drains existing files and stops —
         the deterministic test/drive mode; False = continuous.
         use_tws=True selects the transformWithStateInPandas dedup
@@ -224,18 +279,13 @@ class StreamingIngest:
                 "spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
             )
-        raw = (
-            spark.readStream.format("text")
-            .option("maxFilesPerTrigger", "4")
-            .load(input_dir)
-            # a stream has no meaningful within-batch arrival order (files
-            # race); a deterministic hash makes the per-batch FIFO seq
-            # assignment reproducible across retries
-            .select(
-                F.col("value").alias("url"),
-                F.xxhash64("value").alias("arrival"),
-            )
-        )
+        if source is None:
+            source = {
+                "format": "text",
+                "path": input_dir,
+                "options": {"maxFilesPerTrigger": "4"},
+            }
+        raw = build_candidate_source(spark, source)
         dedup = dedup_stream_tws if use_tws else dedup_stream
         deduped = dedup(raw, self.n_buckets).drop("url_hash")
         writer = (
