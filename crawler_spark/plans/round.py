@@ -625,11 +625,24 @@ def run_round(
         "chain", F.array_distinct(F.reverse(F.col("visited")))
     )
 
-    # D4: every chain member completed; completed beats failed
+    # D4: every chain member completed; completed beats failed.
+    # Both dedup anti-joins against the web-scale url_seen table use the
+    # hashed-key broadcast-semi reduction (the fetch stage's measured-
+    # faster pattern): url_seen streams once through a broadcast probe of
+    # this round's candidate hashes — no shuffle of the big table; hash
+    # collisions only WIDEN the reduced set ahead of the exact anti-join.
+    chain_urls = passed.select(F.explode("chain").alias("url"))
+    completed_cand = chain_urls.distinct()
+    cand_keys = F.broadcast(completed_cand.select(F.xxhash64("url").alias("_h")))
+    prior_completed_red = (
+        url_seen.where("state = 'completed'")
+        .select("url")
+        .withColumn("_h", F.xxhash64("url"))
+        .join(cand_keys, "_h", "left_semi")
+        .drop("_h")
+    )
     completed_append = (
-        passed.select(F.explode("chain").alias("url"))
-        .distinct()
-        .join(url_seen.where("state = 'completed'").select("url"), "url", "left_anti")
+        completed_cand.join(prior_completed_red, "url", "left_anti")
         .select(
             "url",
             F.xxhash64("url").alias("url_hash"),
@@ -637,15 +650,26 @@ def run_round(
             F.lit(round_).alias("round"),
         )
     )
-    completed_end = url_seen.where("state = 'completed'").select("url").unionByName(
-        completed_append.select("url")
-    )
-    failed_new = (
+    # end-of-round completed set = prior ∪ new = prior ∪ chain urls (every
+    # chain member of a stored row completes), so the failed exclusion set
+    # is (url_seen ∪ chain urls) — expressed directly instead of reusing
+    # the completed_append plan, which would re-execute it inside this
+    # branch of the same write job
+    failed_cand = (
         decisions.where("decision = 'failed'")
         .select(F.explode("visited").alias("url"))
         .distinct()
-        .join(completed_end, "url", "left_anti")
-        .join(url_seen.select("url"), "url", "left_anti")
+    )
+    failed_keys = F.broadcast(failed_cand.select(F.xxhash64("url").alias("_h")))
+    exclusion_red = (
+        url_seen.select("url")
+        .unionByName(chain_urls)
+        .withColumn("_h", F.xxhash64("url"))
+        .join(failed_keys, "_h", "left_semi")
+        .drop("_h")
+    )
+    failed_new = (
+        failed_cand.join(exclusion_red, "url", "left_anti")
         .select(
             "url",
             F.xxhash64("url").alias("url_hash"),
