@@ -107,8 +107,13 @@ class CrawlRun:
                 spark.createDataFrame([], "src_url string, dst_url string"),
                 config.max_redirects,
             )
+            closure_count = 0
         else:
             closure = build_redirect_closure(redirects, config.max_redirects).localCheckpoint()
+            # one count on the checkpointed closure at init: per-round
+            # fetch joins pick broadcast-the-closure vs semi-reduce-it
+            # from this (redirect tables are usually tiny vs the corpus)
+            closure_count = closure.count()
         # span-free fast path: per-corpus derived table (plans/doc_index.py),
         # built once at init — corpus preprocessing, like the closure. On a
         # cluster this is a parquet/Iceberg table written next to the corpus;
@@ -134,6 +139,7 @@ class CrawlRun:
             bloom=bloom,
             http_fetch=http_fetch,
             doc_index=doc_index,
+            closure_count=closure_count,
         )
         self.run_id = "run"
         # driver-held round state, restored from the runs table on resume

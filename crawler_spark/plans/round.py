@@ -57,6 +57,11 @@ class RoundContext:
     # (doc_id, doc_size, route, links) — hop-0 fetch joins move narrow
     # columns only, spans re-joined once at the crawled_docs write
     doc_index: DataFrame | None = None
+    # closure row count, measured once at init: when the redirect closure
+    # is broadcast-sized, the fetch join broadcasts IT instead of building
+    # a batch-keys broadcast to semi-reduce it (a 10^6-key driver-serial
+    # relation build probing a 10^2-row table is fixed cost for nothing)
+    closure_count: int | None = None
 
 
 def _err(df: DataFrame, kind: str, url_col, message_col, round_: int) -> DataFrame:
@@ -233,7 +238,12 @@ def fetch_and_branch(
             and cfg.point_lookup_threshold > 0
             and state_size <= cfg.point_lookup_threshold
         )
-        if point_lookup:
+        closure_small = ctx.closure_count is not None and ctx.closure_count <= 250_000
+        if closure_small:
+            # tiny closure: Catalyst broadcasts the closure side of the
+            # left join directly — no batch-keys relation build at all
+            closure_rel = closure
+        elif point_lookup:
             # Point-lookup path for the (tiny) branch hops: collect the
             # hop's keys and push IN filters into the parquet scans —
             # row-group min/max skipping instead of streaming the whole
@@ -632,17 +642,33 @@ def run_round(
     # this round's candidate hashes — no shuffle of the big table; hash
     # collisions only WIDEN the reduced set ahead of the exact anti-join.
     chain_urls = passed.select(F.explode("chain").alias("url"))
-    completed_cand = chain_urls.distinct()
-    cand_keys = F.broadcast(completed_cand.select(F.xxhash64("url").alias("_h")))
+    # Split by chain shape: a 1-element chain IS the scheduled URL —
+    # unique within the round by construction, and (modulo the rare
+    # admitted-then-completed-via-someone-else's-chain race) new to
+    # url_seen, so it appends directly with NO distinct shuffle and NO
+    # dedup join. Only multi-element chains (redirect members — a tiny
+    # slice of a round) can collide with prior completions; they keep the
+    # exact anti-join, right side reduced by a broadcast of their hashes.
+    # A duplicate 'completed' row is semantically inert everywhere it is
+    # read (url_seen_state group-mins, anti-joins and bloom inserts are
+    # set-semantics), so trading exact-set appends for this plan shape
+    # changes no observable state — the trace suite gates that.
+    singles = passed.where(F.size("chain") == 1).select(F.col("chain")[0].alias("url"))
+    multi_cand = (
+        passed.where(F.size("chain") > 1)
+        .select(F.explode("chain").alias("url"))
+        .distinct()
+    )
+    multi_keys = F.broadcast(multi_cand.select(F.xxhash64("url").alias("_h")))
     prior_completed_red = (
         url_seen.where("state = 'completed'")
         .select("url")
         .withColumn("_h", F.xxhash64("url"))
-        .join(cand_keys, "_h", "left_semi")
+        .join(multi_keys, "_h", "left_semi")
         .drop("_h")
     )
     completed_append = (
-        completed_cand.join(prior_completed_red, "url", "left_anti")
+        singles.unionByName(multi_cand.join(prior_completed_red, "url", "left_anti"))
         .select(
             "url",
             F.xxhash64("url").alias("url_hash"),
