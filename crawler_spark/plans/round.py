@@ -450,9 +450,16 @@ def admit_candidates(
     sidecar (it merges at round commit), so it is anti-joined exactly for
     every candidate; it is one round's delta, i.e. small.
 
-    Check order replicates simulator._enqueue for error parity:
-    seen → include-filter (silent) → null-host (logged!) → robots (silent)
-    → pending (silent) → first-discovery dedup → FIFO seq assignment.
+    Gate semantics replicate simulator._enqueue for error parity: the
+    host-null error is logged PER OCCURRENCE of an include-passing URL
+    (simulator logs on every enqueue attempt), so the error branch reads
+    the pre-dedup occurrence stream; every other gate (seen / include /
+    robots / pending) is URL-level — identical for all occurrences of a
+    URL — so first-discovery dedup commutes with them and runs FIRST,
+    cutting the bloom Arrow pass and every downstream join from
+    occurrence volume to unique-URL volume. (A null-host URL can never
+    be in url_seen or pending — admission rejects it — so skipping the
+    seen gate in the error branch drops nothing the simulator keeps.)
 
     The seen anti-join is bloom-prefiltered when a sidecar is configured:
     candidates whose bucket bloom says "definitely new" skip the exact
@@ -460,8 +467,30 @@ def admit_candidates(
     """
     cfg = ctx.config
     occ = occurrences
+    host_null_errors = _err(
+        occ.where(
+            X.include_match_col(
+                F.col("url"), F.col("host"),
+                list(cfg.url_include_patterns), list(cfg.domain_include_patterns),
+            )
+        ).where(F.col("host").isNull()),
+        "GeneralError",
+        F.col("url"),
+        F.lit("Could not get domain from url"),
+        round_,
+    )
+
+    # first-discovery wins (simulator: pending_urls grows as it admits);
+    # (ord_rank, ord_sub) is unique per occurrence, so host/prio in the
+    # struct never decide the min — they just ride along with the winner
+    deduped = occ.groupBy("url").agg(
+        F.min(F.struct("ord_rank", "ord_sub", "host", "prio")).alias("k")
+    ).select(
+        "url", F.col("k.ord_rank").alias("ord_rank"), F.col("k.ord_sub").alias("ord_sub"),
+        F.col("k.host").alias("host"), F.col("k.prio").alias("prio"),
+    )
     if seen_delta_urls is not None:
-        occ = occ.join(seen_delta_urls, "url", "left_anti")
+        deduped = deduped.join(seen_delta_urls, "url", "left_anti")
     if ctx.bloom is not None:
         bloom, manifest = ctx.bloom, ctx.bloom.manifest()
 
@@ -473,27 +502,20 @@ def admit_candidates(
                 pdf["maybe_seen"] = bloom.maybe_seen(pdf["url_hash"], manifest)
                 yield pdf
 
-        hashed = occ.withColumn("url_hash", F.xxhash64("url"))
+        hashed = deduped.withColumn("url_hash", F.xxhash64("url"))
         flagged = hashed.mapInPandas(
             prefilter,
-            "url string, host string, ord_rank bigint, ord_sub bigint, "
+            "url string, ord_rank bigint, ord_sub bigint, host string, "
             "prio int, url_hash bigint, maybe_seen boolean",
         )
         maybe = flagged.where("maybe_seen").join(seen_urls, "url", "left_anti")
         fresh = flagged.where("not maybe_seen")
         not_seen = maybe.unionByName(fresh).drop("maybe_seen", "url_hash")
     else:
-        not_seen = occ.join(seen_urls, "url", "left_anti")
+        not_seen = deduped.join(seen_urls, "url", "left_anti")
 
     included = not_seen.where(
         X.include_match_col(F.col("url"), F.col("host"), list(cfg.url_include_patterns), list(cfg.domain_include_patterns))
-    )
-    host_null_errors = _err(
-        included.where(F.col("host").isNull()),
-        "GeneralError",
-        F.col("url"),
-        F.lit("Could not get domain from url"),
-        round_,
     )
     with_host = included.where(F.col("host").isNotNull())
 
@@ -511,12 +533,6 @@ def admit_candidates(
         allowed = with_host
 
     not_pending = allowed.join(pending_urls, "url", "left_anti")
-    # first-discovery wins (simulator: pending_urls grows as it admits)
-    # (ord_rank, ord_sub) is unique per occurrence, so host/prio in the
-    # struct never decide the min — they just ride along with the winner
-    deduped = not_pending.groupBy("url").agg(
-        F.min(F.struct("ord_rank", "ord_sub", "host", "prio")).alias("k")
-    ).select("url", F.col("k.ord_rank").alias("ord_rank"), F.col("k.ord_sub").alias("ord_sub"), F.col("k.host").alias("host"), F.col("k.prio").alias("prio"))
 
     # materialize_input: the bloom prefilter + admission joins + dedup agg
     # above would otherwise run twice (range sampling pass + shuffle).
@@ -527,7 +543,7 @@ def admit_candidates(
         rank_bucket(F.col("ord_rank"), max_rank) if max_rank else None
     )
     ranked = global_rank(
-        deduped, ["ord_rank", "ord_sub"], "_d", materialize_input=True, bucket=bucket
+        not_pending, ["ord_rank", "ord_sub"], "_d", materialize_input=True, bucket=bucket
     )
     frontier_append = ranked.select(
         "url",
