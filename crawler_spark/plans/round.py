@@ -489,8 +489,6 @@ def admit_candidates(
         "url", F.col("k.ord_rank").alias("ord_rank"), F.col("k.ord_sub").alias("ord_sub"),
         F.col("k.host").alias("host"), F.col("k.prio").alias("prio"),
     )
-    if seen_delta_urls is not None:
-        deduped = deduped.join(seen_delta_urls, "url", "left_anti")
     if ctx.bloom is not None:
         bloom, manifest = ctx.bloom, ctx.bloom.manifest()
 
@@ -532,7 +530,13 @@ def admit_candidates(
     else:
         allowed = with_host
 
-    not_pending = allowed.join(pending_urls, "url", "left_anti")
+    # ONE anti-join covers both round-scale exclusion sets (pending
+    # frontier + this round's uncommitted url_seen delta) — they are the
+    # same magnitude, and folding them shuffles the candidate side once
+    # instead of twice; only the web-scale url_seen keeps its own
+    # bloom-prefiltered gate above
+    excl = pending_urls if seen_delta_urls is None else pending_urls.unionByName(seen_delta_urls)
+    not_pending = allowed.join(excl, "url", "left_anti")
 
     # materialize_input: the bloom prefilter + admission joins + dedup agg
     # above would otherwise run twice (range sampling pass + shuffle).
