@@ -302,11 +302,19 @@ def main():
     # NOW — if even embarrassingly-parallel md5 scales under 0.8 in this
     # window, a retry cannot succeed and is skipped (provable futility,
     # not self-grading: the probe only gates retries, never the verdict).
+    # Busy windows pass on minute timescales, so one bad probe waits and
+    # re-reads; only two consecutive bad probes end the run.
+    futile = 0
     while eff_of(*best_pair()) < 0.8 and len(pairs) < 4:
         p = cpu_probe(2, 8)
         probes.append(p)
         if p["ceiling_efficiency"] < 0.8:
-            break
+            futile += 1
+            if futile >= 2:
+                break
+            time.sleep(45)
+            continue
+        futile = 0
         pairs.append((crawl_bench_pinned(2), crawl_bench_pinned(8)))
     low, high = best_pair()
     attempts = len(pairs)
