@@ -175,3 +175,26 @@ def test_html_crawl_trace_matches_span_web(spark, tmp_state):
         r["final_url"] for r in run.catalog.crawled_docs.read(spark).collect()
     }
     assert f"{h}/do_login" in stored_urls
+
+
+def test_converter_never_raises_property():
+    """Hypothesis sweep: arbitrary text through the converter must never
+    raise, and emitted spans must carry the schema shape with strictly
+    increasing offsets (html.parser degrades like tagsoup)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=400))
+    def run(soup):
+        spans = html_to_spans(soup)
+        offs = [s["offset"] for s in spans]
+        assert offs == sorted(offs)
+        for s in spans:
+            assert set(s) == {"kind", "text", "media_ref", "offset"}
+            assert s["kind"] in {"text", "link", "media", "meta_refresh", "form"}
+            assert s["text"] is None or isinstance(s["text"], str)
+            assert s["media_ref"] is None or isinstance(s["media_ref"], str)
+            assert isinstance(s["offset"], int)
+
+    run()
