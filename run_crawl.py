@@ -16,6 +16,11 @@ Config JSON:
   "href_directions_file": "...",              (S5: -df, reference format)
   "crawl_limit": 1000,                        (S7: -l)
   "per_host_budget": 1, "max_rounds": 100, "resume": false,
+  "scheduler_mode": "budget",                 (P7+: "timing" = virtual-time
+      politeness: admit by departure eta inside the round window, fetch
+      order by departure time)
+  "round_window_ms": null,                    (timing mode; default =
+      per_host_budget seconds)
   "warc_out": ".../warc",                     (S8/S11: -wf, optional export)
   "http_fetch": false,                        (S9 real path: real sockets)
   "proxy": "addr:port",                       (S6: -p; real path only)
@@ -77,6 +82,8 @@ def main() -> None:
         per_host_budget=int(conf.get("per_host_budget", 1)),
         max_rounds=int(conf.get("max_rounds", 1000)),
         respect_robots=bool(conf.get("respect_robots", True)),
+        scheduler_mode=str(conf.get("scheduler_mode", "budget")),
+        round_window_ms=conf.get("round_window_ms"),
         proxy=conf.get("proxy"),
         ignore_bad_https_certs=bool(conf.get("ignore_bad_https_certs", False)),
     )
