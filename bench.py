@@ -96,9 +96,14 @@ def crawl_bench(cpus: int, scheduler_mode: str = "budget", n_rounds: int = N_ROU
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+    extra = {}
+    evlog = os.environ.get("SPARK_GRAFT_EVLOG")
+    if evlog:  # job-level attribution for scaling-efficiency analysis
+        os.makedirs(evlog, exist_ok=True)
+        extra = {"spark.eventLog.enabled": "true", "spark.eventLog.dir": evlog}
     spark = build_session(
         app_name=f"crawl_bench_{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=SHUFFLE_PARTITIONS,
+        shuffle_partitions=SHUFFLE_PARTITIONS, extra_conf=extra,
     )
     try:
         from pyspark.sql import functions as F
