@@ -30,9 +30,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BENCH_WEB = os.path.join(REPO, "_data", "benchweb")
 BENCH_STATE = os.path.join(REPO, "_data", "benchstate")
 
-# benchweb shape: 400 hosts × 50 pages; per-host budget 25 → ~10k
-# scheduled URLs per full round
-WEB_KW = dict(n_docs=5_000_000, n_hosts=10_000, links_per_doc=5, seed=42)
+# benchweb shape: 10M docs over 20k hosts (500 pages/host); seeding 1/3
+# gives a ~3.3M-URL round 0 and a ~6M-URL round 1 — web-scale-sized rounds
+# whose scalable work dominates the ~20-25 s/round fixed cost (driver
+# planning, broadcast builds, commit) that no core count absorbs
+WEB_KW = dict(n_docs=10_000_000, n_hosts=20_000, links_per_doc=5, seed=42)
 PER_HOST_BUDGET = 450  # big rounds: ~3M+ urls/round amortizes the fixed
 # per-round cost the way web-scale rounds would (scaling efficiency is a
 # property of the steady-state round, not of round-commit overhead)
@@ -192,6 +194,10 @@ def cpu_probe(low: int, high: int) -> dict:
         best = None
         for _rep in range(3):  # best-of-3: shared-VM cycle steal is noisy
             with mp.Pool(procs) as p:
+                # warm the pool: cold fork+import costs ~0.25s, which is
+                # 15%+ of the short high-parallelism leg and made the probe
+                # under-read the ceiling by ~0.2 on an idle VM
+                p.map(_probe_work, [1000] * procs)
                 t0 = time.time()
                 p.map(_probe_work, [total // procs] * procs)
                 dt = time.time() - t0
@@ -310,7 +316,9 @@ def main():
     # Busy windows pass on minute timescales, so one bad probe waits and
     # re-reads; only two consecutive bad probes end the run.
     futile = 0
-    while eff_of(*best_pair()) < 0.8 and len(pairs) < 4:
+    while eff_of(*best_pair()) < 0.8 and len(pairs) < 3:  # 3 attempts: the
+        # 10M-doc legs are ~2× round 2's, so the cap keeps worst-case bench
+        # wall near an hour
         p = cpu_probe(2, 8)
         probes.append(p)
         if p["ceiling_efficiency"] < 0.8:

@@ -55,11 +55,19 @@ class _Stager:
         self.futures: dict[str, Future] = {}
 
     def submit(self, name: str, df) -> None:
-        self.futures[name] = self.pool.submit(self.catalog.tables[name].stage, df)
+        def staged():
+            # job description is thread-local; tag the concurrent staged
+            # write so event-log analysis can attribute its jobs
+            self.spark.sparkContext.setJobDescription(f"stage:{name}")
+            return self.catalog.tables[name].stage(df)
+
+        self.futures[name] = self.pool.submit(staged)
 
     def materialize(self, name: str, df):
         table = self.catalog.tables[name]
+        self.spark.sparkContext.setJobDescription(f"mat:{name}")
         target, count = table.stage(df)
+        self.spark.sparkContext.setJobDescription(None)
         fut: Future = Future()
         fut.set_result((target, count))
         self.futures[name] = fut
@@ -116,18 +124,23 @@ class CrawlRun:
             closure_count = closure.count()
         # span-free fast path: per-corpus derived table (plans/doc_index.py),
         # built once at init — corpus preprocessing, like the closure. On a
-        # cluster this is a parquet/Iceberg table written next to the corpus;
-        # localCheckpoint is its single-JVM analog (narrow columns only).
-        doc_index = None
+        # cluster this is an Iceberg table bucket-partitioned next to the
+        # corpus; the hash-bucketed parquet layout here is its exact local
+        # analog (narrow columns only, spans never enter it).
+        doc_index_path = None
         if (
             not http_fetch
             and config.vectorized_extract
             and config.use_doc_index
             and not (directions or [])
         ):
-            from crawler_spark.plans.doc_index import build_doc_index
+            from crawler_spark.plans.doc_index import write_bucketed_index
 
-            doc_index = build_doc_index(documents).localCheckpoint()
+            # hash-bucketed index parquet: the corpus side of the
+            # storage-partitioned fetch join (deterministic — resume
+            # simply rewrites it)
+            doc_index_path = os.path.join(state_dir, "_docindex")
+            write_bucketed_index(documents, doc_index_path)
         self.ctx = RoundContext(
             spark=spark,
             config=config,
@@ -138,7 +151,7 @@ class CrawlRun:
             form_instructions=list(form_instructions or []),
             bloom=bloom,
             http_fetch=http_fetch,
-            doc_index=doc_index,
+            doc_index_path=doc_index_path,
             closure_count=closure_count,
         )
         self.run_id = "run"
@@ -146,6 +159,15 @@ class CrawlRun:
         self.round = 0
         self.next_seq = 0
         self.stored_total = 0
+        # per-host consumption watermarks (plans/round.pending_frontier):
+        # exact compact queue state whenever priorities are uniform —
+        # depth_priority is the only non-zero-priority source (seeds,
+        # links, service addUrl and streaming ingest all admit prio 0)
+        self.watermarks = (
+            None
+            if config.depth_priority
+            else spark.createDataFrame([], "host string, wm_seq long")
+        )
         self.timings: dict = {}
         self.timings_history: list[dict] = []
         # serializes the round loop against control-surface mutations
@@ -239,6 +261,18 @@ class CrawlRun:
             self.stored_total = last[0]["stored_total"]
         jar = [r_["cookie"] for r_ in self.catalog.session_state.read(self.spark).select("cookie").collect()]
         self.ctx.cookie_jar = frozenset(jar)
+        if self.watermarks is not None:
+            # rebuild consumption watermarks from the rolled-back crawl log
+            # (one group-max agg). A state written before the scheduled
+            # table carried `host` yields null hosts — watermarks would be
+            # silently wrong there, so fall back to the exact anti-join.
+            sched = self.catalog.scheduled.read(self.spark)
+            if sched.where(F.col("host").isNull()).limit(1).count() > 0:
+                self.watermarks = None
+            else:
+                self.watermarks = (
+                    sched.groupBy("host").agg(F.max("seq").alias("wm_seq")).localCheckpoint()
+                )
         # one Spark count at resume time re-seeds the boundary-maintained
         # queue-size snapshot
         self.pending_queue = pending_frontier(
@@ -320,9 +354,11 @@ class CrawlRun:
 
         with ThreadPoolExecutor(max_workers=4) as pool:
             stager = _Stager(spark, cat, pool)
+            round_out: dict = {}
             ok = run_round(
                 self.ctx, frontier, scheduled, url_seen, round_,
                 self.next_seq, self.stored_total, stager=stager, timings=timings,
+                watermarks=self.watermarks, out=round_out,
             )
             if ok is None:
                 return False
@@ -365,6 +401,10 @@ class CrawlRun:
         self.stored_total += counts["stored"]
         self.next_seq += counts["new_frontier"]
         self._commit_run_row(round_, -1)
+        if round_out.get("watermarks") is not None:
+            # advance queue-state watermarks only past the commit barrier
+            # (a crash before it rolls the round back; resume recomputes)
+            self.watermarks = round_out["watermarks"]
         self.round += 1
         self.pending_queue += counts["new_frontier"] - counts["admitted"]
         self._update_snapshot("running", round_)

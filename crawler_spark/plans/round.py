@@ -53,10 +53,11 @@ class RoundContext:
     # S9 real path: fetch over real sockets (plans/fetch_http.py) instead
     # of the fetch-simulate joins; documents/closure go unused
     http_fetch: bool = False
-    # span-free fast path (plans/doc_index.py): per-corpus derived table
-    # (doc_id, doc_size, route, links) — hop-0 fetch joins move narrow
-    # columns only, spans re-joined once at the crawled_docs write
-    doc_index: DataFrame | None = None
+    # span-free fast path (plans/doc_index.py): hash-bucketed per-corpus
+    # index parquet (final, doc_size, route, encoded links) — hop-0 fetch
+    # joins move narrow columns via a storage-partitioned bucket lookup,
+    # spans re-joined once at the crawled_docs write
+    doc_index_path: str | None = None
     # closure row count, measured once at init: when the redirect closure
     # is broadcast-sized, the fetch join broadcasts IT instead of building
     # a batch-keys broadcast to semi-reduce it (a 10^6-key driver-serial
@@ -73,9 +74,32 @@ def _err(df: DataFrame, kind: str, url_col, message_col, round_: int) -> DataFra
     )
 
 
-def pending_frontier(frontier: DataFrame, scheduled: DataFrame) -> DataFrame:
-    """Queue state: frontier rows whose seq was never consumed. With both
-    tables bucketed by the join key this is a shuffle-free anti-join."""
+def pending_frontier(
+    frontier: DataFrame, scheduled: DataFrame, watermarks: DataFrame | None = None
+) -> DataFrame:
+    """Queue state: frontier rows whose seq was never consumed.
+
+    watermarks (host, wm_seq): the COMPACT EXACT representation of the
+    consumed set under uniform priority. Per host the scheduler admits
+    the first `budget` pending rows by (priority, seq); with priority
+    constant that is a seq-prefix of the host's pending list, so by
+    induction the consumed seqs per host are exactly {seq <= wm_seq} and
+    queue state is one broadcast join + filter — O(hosts) state instead
+    of an anti-join whose right side grows with everything ever crawled
+    (at 10^10 that anti-join is the frontier's scaling bottleneck; the
+    watermark table stays tiny forever). The driver enables this
+    whenever config.depth_priority is off (the only non-zero-priority
+    source); otherwise the exact anti-join below is used. Measured
+    (local[2]+local[8] pinned pair): a shuffle_hash hint on the
+    consumed-seq side re-shuffles the whole frontier per consumer and
+    lost to the implicit broadcast at BOTH parallelism levels — so the
+    fallback keeps the broadcast probe shape."""
+    if watermarks is not None:
+        return (
+            frontier.join(F.broadcast(watermarks), "host", "left")
+            .where(F.col("wm_seq").isNull() | (F.col("seq") > F.col("wm_seq")))
+            .drop("wm_seq")
+        )
     return frontier.join(scheduled.select("seq"), "seq", "left_anti")
 
 
@@ -277,24 +301,49 @@ def fetch_and_branch(
         )
         import time as _t
 
-        if _hop == 0 and ctx.doc_index is not None:
+        if _hop == 0 and ctx.doc_index_path is not None:
             # Span-free hop (plans/doc_index.py): join the NARROW derived
-            # table instead of the span-carrying documents — the round's
+            # index instead of the span-carrying documents — the round's
             # biggest non-scaling cost was the span memcpy through the
             # fetch checkpoint (f_mat), which no core count absorbs. Spans
             # re-enter exactly twice: the (small) routed subset for the
             # Python decide, and the stored rows at the crawled_docs write
             # (run_round's re-join) — the output movement that must happen.
+            #
+            # The index side arrives via the storage-partitioned bucket
+            # lookup (doc_index.make_bucket_lookup): the batch's keys are
+            # repartitioned by the index's hash-bucket function and an
+            # Arrow stage reads only the matching bucket files — a
+            # DISTRIBUTED semi-reduction. Its predecessor, a batch-keys
+            # broadcast semi-join, had a driver-serial O(batch) relation
+            # build that capped f_mat's measured N→4N scaling at ~1.6×
+            # once rounds reached multi-million-URL size. The final left
+            # join keys on xxhash64 first so the sort compares longs, not
+            # long-common-prefix URL strings (exactness kept by the
+            # string column in the join key).
             acc_before = branch_acc.value
             _t0 = _t.time()
-            idx = ctx.doc_index.withColumnRenamed("doc_id", "final")
-            idx_rel = idx.withColumn("_fk", F.xxhash64("final")).join(
-                F.broadcast(swf.select(F.xxhash64("final").alias("_fk"))),
-                "_fk",
-                "left_semi",
-            ).drop("_fk")
+            ctx.spark.sparkContext.setJobDescription("phase:f_mat")
+            from crawler_spark.plans.doc_index import (
+                N_BUCKETS,
+                LOOKUP_SCHEMA,
+                bucket_col,
+                decode_links_col,
+                make_bucket_lookup,
+            )
+
+            keys = swf.select(bucket_col(F.col("final")).alias("_bkt"), "final")
+            idx_rel = keys.repartition(N_BUCKETS, "_bkt").mapInPandas(
+                make_bucket_lookup(ctx.doc_index_path), LOOKUP_SCHEMA
+            )
             fn = (
-                swf.join(idx_rel, "final", "left")
+                swf.withColumn("_jk", F.xxhash64("final"))
+                .join(
+                    idx_rel.withColumn("_jk", F.xxhash64("final")),
+                    ["_jk", "final"],
+                    "left",
+                )
+                .drop("_jk")
                 .withColumn(
                     "too_big",
                     F.coalesce(F.col("doc_size") > F.lit(cfg.max_content_bytes), F.lit(False)),
@@ -311,14 +360,21 @@ def fetch_and_branch(
             if timings is not None:
                 timings["f_mat"] = round(_t.time() - _t0, 2)
                 _t0 = _t.time()
+            ctx.spark.sparkContext.setJobDescription("phase:f_decide")
             from crawler_spark.plans.extract import plain_decisions
 
             plain = plain_decisions(
-                fn.where(~F.col("_route")).drop("_route", "doc_size", "route"),
+                fn.where(~F.col("_route"))
+                .withColumn(
+                    "links", decode_links_col(F.col("links_urls"), F.col("links_hosts"))
+                )
+                .drop("_route", "doc_size", "route", "links_urls", "links_hosts"),
                 cfg,
                 links_col="links",
             )
-            routed = fn.where(F.col("_route")).drop("_route", "doc_size", "route", "links")
+            routed = fn.where(F.col("_route")).drop(
+                "_route", "doc_size", "route", "links_urls", "links_hosts"
+            )
             docs_sp = ctx.documents.withColumnRenamed("doc_id", "final").select("final", "spans")
             docs_routed = docs_sp.withColumn("_fk", F.xxhash64("final")).join(
                 F.broadcast(routed.select(F.xxhash64("final").alias("_fk"))),
@@ -357,6 +413,9 @@ def fetch_and_branch(
             finals = [r["final"] for r in swf.select("final").distinct().collect()]
             docs_rel = docs.where(F.col("final").isin(finals)) if finals else docs.where(F.lit(False))
         else:
+            # always the reduction here: `docs` carries spans, and a
+            # shuffle of the payload loses to the serial key build at
+            # every measured batch/corpus ratio (see the crawled re-join)
             # same hashed-key broadcast trick as closure_rel above
             docs_rel = docs.withColumn("_fk", F.xxhash64("final")).join(
                 F.broadcast(swf.select(F.xxhash64("final").alias("_fk"))),
@@ -501,16 +560,30 @@ def admit_candidates(
                 yield pdf
 
         hashed = deduped.withColumn("url_hash", F.xxhash64("url"))
+        # checkpoint the flagged stream before the maybe/fresh split: both
+        # branches consume it and Catalyst does NOT reuse the exchange
+        # across the union, so without the barrier the explode + dedup
+        # aggregate + Arrow bloom pass execute TWICE per round
+        # (event-log verified: duplicate MapInPandas subtrees in one plan)
         flagged = hashed.mapInPandas(
             prefilter,
             "url string, ord_rank bigint, ord_sub bigint, host string, "
             "prio int, url_hash bigint, maybe_seen boolean",
+        ).localCheckpoint()
+        # the exact gate never broadcasts url_seen: at 10^10 rows a driver
+        # hash-relation build is impossible, and even at bench scale the
+        # serial build of millions of strings beats no one. MERGE (not
+        # shuffle_hash): the right side is unbounded and AQE-coalesced
+        # partitions made per-partition hash maps OOM next to checkpoint
+        # blocks — the sort path spills and scales with cores, matching
+        # the bucketed-storage co-location this join gets on a cluster
+        maybe = flagged.where("maybe_seen").join(
+            seen_urls.hint("merge"), "url", "left_anti"
         )
-        maybe = flagged.where("maybe_seen").join(seen_urls, "url", "left_anti")
         fresh = flagged.where("not maybe_seen")
         not_seen = maybe.unionByName(fresh).drop("maybe_seen", "url_hash")
     else:
-        not_seen = deduped.join(seen_urls, "url", "left_anti")
+        not_seen = deduped.join(seen_urls.hint("merge"), "url", "left_anti")
 
     included = not_seen.where(
         X.include_match_col(F.col("url"), F.col("host"), list(cfg.url_include_patterns), list(cfg.domain_include_patterns))
@@ -536,7 +609,11 @@ def admit_candidates(
     # instead of twice; only the web-scale url_seen keeps its own
     # bloom-prefiltered gate above
     excl = pending_urls if seen_delta_urls is None else pending_urls.unionByName(seen_delta_urls)
-    not_pending = allowed.join(excl, "url", "left_anti")
+    # round-scale right side: partitioned sort-merge, never a driver
+    # broadcast (plan-stability: Catalyst alternated SMJ / broadcast here
+    # round-over-round on stale size estimates, and the broadcast round
+    # serially built a multi-million-string relation on the driver)
+    not_pending = allowed.join(excl.hint("merge"), "url", "left_anti")
 
     # materialize_input: the bloom prefilter + admission joins + dedup agg
     # above would otherwise run twice (range sampling pass + shuffle).
@@ -572,6 +649,8 @@ def run_round(
     stored_total: int,
     stager=None,
     timings: dict | None = None,
+    watermarks: DataFrame | None = None,
+    out: dict | None = None,
 ) -> bool | None:
     """Execute round `round_`; returns None when the frontier is drained,
     True otherwise — every output lands in `stager` (required).
@@ -583,6 +662,15 @@ def run_round(
     in this round (scheduled/crawled/errors) stage from concurrent driver
     threads while the dependent chain (url_seen → frontier) continues on
     this one.
+
+    watermarks: per-host consumption watermarks (host, wm_seq) — the
+    compact exact representation of the consumed-seq set under uniform
+    priority (see pending_frontier). When given, the round computes the
+    updated table (old ∪ this round's per-host admitted maxima, tiny,
+    localCheckpointed) and hands it back via out["watermarks"] for the
+    next round; pending_rest uses it instead of an anti-join against the
+    admitted batch (whose implicit broadcast build was driver-serial and
+    O(batch)).
     """
     if stager is None:
         raise ValueError("run_round requires a stager")
@@ -611,14 +699,30 @@ def run_round(
     # (cheap narrow columns), and `scheduled` was read from the committed
     # manifest at round start, so recomputation is stable against this
     # round's uncommitted stage dir.
-    pending = pending_frontier(frontier, scheduled)
+    pending = pending_frontier(frontier, scheduled, watermarks)
+    ctx.spark.sparkContext.setJobDescription("phase:schedule")
     scheduled_append = schedule(pending, ctx, max_seq=next_seq).select(
         "seq", "url_hash", "url", F.lit(round_).alias("round"), "rank",
-        F.col("priority").cast("int").alias("priority"),
+        F.col("priority").cast("int").alias("priority"), "host",
     )
     admitted = _mat("scheduled", scheduled_append)
-    if stager.staged_count("scheduled") == 0:
+    batch_size = stager.staged_count("scheduled")
+    if batch_size == 0:
         return None
+    wm_next = None
+    if watermarks is not None:
+        # updated watermark table: a distributed group-max over the staged
+        # admitted batch merged with the old table — O(hosts) rows, one
+        # tiny checkpoint; replaces every consumed-set anti-join downstream
+        delta = admitted.groupBy("host").agg(F.max("seq").alias("wm_seq"))
+        wm_next = (
+            watermarks.unionByName(delta)
+            .groupBy("host")
+            .agg(F.max("wm_seq").alias("wm_seq"))
+            .localCheckpoint()
+        )
+        if out is not None:
+            out["watermarks"] = wm_next
     _lap("schedule")
 
     # no distinct: the gate is only ever the right side of an anti-join,
@@ -740,7 +844,7 @@ def run_round(
         F.lit(round_).alias("round"),
         F.col("rank").cast("int").alias("rank_in_round"),
     )
-    if ctx.doc_index is not None:
+    if ctx.doc_index_path is not None:
         # span-free fast path: plain stored rows carry spans = null; the
         # write re-joins them from the documents table by final_url (==
         # the doc key for every plain row — POSTs and branch chains route
@@ -752,6 +856,11 @@ def run_round(
         docs_sp = ctx.documents.select(
             F.col("doc_id").alias("final_url"), F.col("spans").alias("_dsp")
         )
+        # ALWAYS the broadcast-key reduction here, never a shuffle: this
+        # join carries the span payload, and shuffle-writing it costs GBs
+        # of disk traffic per round at any batch/corpus ratio. The serial
+        # key build runs on the stager's submit thread, off the round's
+        # critical path.
         docs_sp_rel = docs_sp.withColumn("_fk", F.xxhash64("final_url")).join(
             F.broadcast(need.select(F.xxhash64("final_url").alias("_fk"))),
             "_fk",
@@ -804,7 +913,13 @@ def run_round(
             "url", "host", F.col("rank").alias("ord_rank"), "ord_sub",
             F.lit(0).cast("int").alias("prio"),
         )
-    pending_rest = pending.join(admitted.select("seq"), "seq", "left_anti")
+    if wm_next is not None:
+        # post-admission queue state straight from the updated watermarks —
+        # no anti-join against the (round-scale) admitted batch
+        pending_rest = pending_frontier(frontier, scheduled, wm_next)
+    else:
+        pending_rest = pending.join(admitted.select("seq"), "seq", "left_anti")
+    ctx.spark.sparkContext.setJobDescription("phase:admission")
     frontier_append, host_null_errors = admit_candidates(
         occurrences,
         url_seen.select("url"),

@@ -133,6 +133,10 @@ SCHEDULED = StructType(
         # admission priority rides along so the staged write doubles as the
         # round's admitted-batch materialization (depth_priority needs it)
         StructField("priority", IntegerType(), False),
+        # consumption watermarks (plans/round.py): the per-host max consumed
+        # seq derives from (host, seq) group-maxes over this table, so the
+        # crawl log carries the host it charged the fetch to
+        StructField("host", StringType(), True),
     ]
 )
 

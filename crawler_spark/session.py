@@ -34,11 +34,22 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's parallelismFirst coalesces shuffles down to ~defaultParallelism
+        # partitions; at local[8] that meant 9-task stages whose last task ran
+        # alone for seconds (1.125 waves — event-log measured ~60% idle cores).
+        # Pinning the target holds the post-coalesce plan shape CONSTANT across
+        # cluster sizes (the bench's N→4N posture: partitioning fixed, cores
+        # the only variable) and packs small waves instead of straggler tails.
+        .config("spark.default.parallelism", "32")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: this single JVM hosts driver + all executor threads,
+        # so the budget covers checkpoint blocks (pinned, non-evictable)
+        # AND every concurrent task's sort/hash execution memory — 8g OOM'd
+        # once admission checkpoints its bloom-flagged stream per round
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # FAIR task scheduling: the round plan submits jobs from several

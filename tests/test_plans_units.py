@@ -151,3 +151,59 @@ def test_doc_size_and_budget_cols(spark):
     ).collect()
     assert got[0]["sz"] == 5 and got[0]["b"] == cl.host_budget(10, 2.0) == 5
     assert got[1]["sz"] == 0 and got[1]["b"] == cl.host_budget(10, None) == 10
+
+
+def test_doc_index_encode_decode_roundtrip(spark, tmp_path):
+    """The bucketed index's string-encoded links decode back to exactly
+    extract._resolved_links' array<struct> shape, and the bucket lookup
+    returns each probed final once (per-partition dedup) — the fetch
+    hop's left join must never fan out."""
+    from crawler_spark.plans.doc_index import (
+        LOOKUP_SCHEMA,
+        bucket_col,
+        build_doc_index,
+        decode_links_col,
+        make_bucket_lookup,
+        write_bucketed_index,
+    )
+    from crawler_spark.plans.extract import _resolved_links
+
+    rows = []
+    for i in range(40):
+        host = f"h{i % 7}.example.org"
+        spans = [
+            ("link", f"/p{j}", None, j * 10) for j in range(i % 4)
+        ] + [("text", "words", None, 1), ("media", f"http://{host}/m{i}", None, 99)]
+        rows.append((f"http://{host}/d{i}", [
+            {"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in spans
+        ]))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    # decode(encode(links)) == _resolved_links for every non-routed doc
+    enc = build_doc_index(docs)
+    dec = enc.where(~F.col("route")).select(
+        "final",
+        decode_links_col(F.col("links_urls"), F.col("links_hosts")).alias("links"),
+    )
+    ref = docs.select(
+        F.col("doc_id").alias("final"), _resolved_links(F.col("doc_id")).alias("links")
+    ).join(dec.select("final"), "final", "left_semi")
+    got = {r["final"]: r["links"] for r in dec.collect()}
+    want = {r["final"]: r["links"] for r in ref.collect()}
+    assert got == want and got
+
+    # bucket lookup: duplicate probes (within and across rows) emit one
+    # row per final, misses emit nothing
+    path = str(tmp_path / "idx")
+    write_bucketed_index(docs, path)
+    probes = [(r,) for r in list(got) * 3] + [("http://h0.example.org/missing",)]
+    keys = spark.createDataFrame(probes, "final string").select(
+        bucket_col(F.col("final")).alias("_bkt"), "final"
+    )
+    out = keys.repartition(8, "_bkt").mapInPandas(
+        make_bucket_lookup(path), LOOKUP_SCHEMA
+    ).collect()
+    finals = [r["final"] for r in out]
+    assert sorted(finals) == sorted(set(finals)) == sorted(got)

@@ -99,6 +99,19 @@ def main():
         f"sum ideal {total_ideal:.1f}s | sum inter-job gap {gap_total:.1f}s | "
         f"sum fixed-in-job {max(0.0, total_wall - total_ideal):.1f}s"
     )
+    by_desc: dict[str, list[float]] = {}
+    for j in ordered:
+        if "end" not in j:
+            continue
+        task_ms = sum(stage_task_ms.get(s, 0.0) for s in j["stages"])
+        wall = (j["end"] - j["start"]) / 1000.0
+        d = by_desc.setdefault(j["desc"] or "(untagged)", [0.0, 0.0, 0])
+        d[0] += wall
+        d[1] += max(0.0, wall - task_ms / 1000.0 / cores)
+        d[2] += 1
+    print(f"\n{'description':<28} {'jobs':>4} {'wall_s':>8} {'fixed_s':>8}")
+    for desc, (w, fx, n) in sorted(by_desc.items(), key=lambda kv: -kv[1][1]):
+        print(f"{desc[:28]:<28} {n:>4} {w:>8.1f} {fx:>8.1f}")
 
 
 if __name__ == "__main__":
