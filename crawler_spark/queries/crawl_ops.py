@@ -324,6 +324,78 @@ ORACLE_SCHEDULE_TIMING = f"""
 
 
 # ---------------------------------------------------------------------------
+# Depth-priority assignment: the engine's depth_priority mode gives every
+# discovered link (parent depth + 1) as its scheduling priority — i.e. the
+# frontier's priority column IS the min BFS depth from the seed set. This
+# query computes that assignment as a level-synchronous BFS: a driver loop
+# of ≤ DEPTH_CAP equi-join + distinct steps (each level one shuffle on the
+# edge key; no all-pairs, no recursion in a single plan), exactly the shape
+# a 10^10-edge frontier wants — level k touches only level-k nodes and the
+# edges they own. Oracle: DuckDB recursive CTE with the same depth cap;
+# both sides dedup (node, depth) pairs per level, so min(depth) matches
+# row-for-row.
+# ---------------------------------------------------------------------------
+
+DEPTH_CAP = 5  # levels beyond the seeds; bounds both loop and recursion
+_BFS_NODES = 16384  # node-id space: sparse at sf0.001, dense by sf0.1
+_BFS_SEED_STEP = 257  # seeds = every 257th node id
+
+
+def _bfs_edges(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % _BFS_NODES).cast("bigint").alias("src_k"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 131) % _BFS_NODES)
+        .cast("bigint").alias("dst_k"),
+    ).distinct()
+
+
+def q_depth_priority(spark, sf_dir):
+    edges = _bfs_edges(spark, sf_dir)
+    level = spark.range(0, _BFS_NODES, _BFS_SEED_STEP).select(
+        F.col("id").alias("k"), F.lit(0).alias("depth")
+    )
+    reached = level
+    for d in range(1, DEPTH_CAP + 1):
+        level = (
+            level.join(edges, level["k"] == edges["src_k"])
+            .select(F.col("dst_k").alias("k"))
+            .distinct()
+            .withColumn("depth", F.lit(d))
+        )
+        reached = reached.unionByName(level)
+    out = reached.groupBy("k").agg(F.min("depth").alias("depth"))
+    return out.select(
+        F.concat(
+            F.lit("http://h"), (F.col("k") % 23).cast("string"),
+            F.lit(".example.org/n"), F.col("k").cast("string"),
+        ).alias("url"),
+        "depth",
+    ).orderBy("url")
+
+
+ORACLE_DEPTH_PRIORITY = f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT CAST(l_orderkey % {_BFS_NODES} AS BIGINT) AS src_k,
+             CAST((l_orderkey * 7 + l_linenumber * 131) % {_BFS_NODES} AS BIGINT) AS dst_k
+      FROM lineitem
+    ),
+    r AS (
+      SELECT CAST(k AS BIGINT) AS k, 0 AS depth
+      FROM range(0, {_BFS_NODES}, {_BFS_SEED_STEP}) t(k)
+      UNION
+      SELECT e.dst_k AS k, r.depth + 1 AS depth
+      FROM r JOIN edges e ON e.src_k = r.k
+      WHERE r.depth < {DEPTH_CAP}
+    )
+    SELECT 'http://h' || CAST(k % 23 AS VARCHAR) || '.example.org/n'
+           || CAST(k AS VARCHAR) AS url,
+           CAST(MIN(depth) AS INT) AS depth
+    FROM r GROUP BY k ORDER BY url
+"""
+
+
+# ---------------------------------------------------------------------------
 # F1: include-pattern filter (src/Crawl.hs:214-228)
 # ---------------------------------------------------------------------------
 
@@ -559,6 +631,7 @@ QUERIES = {
     "schedule_window": q_schedule_window,
     "schedule_salted": q_schedule_salted,
     "schedule_timing": q_schedule_timing,
+    "depth_priority": q_depth_priority,
     "include_filter": q_include_filter,
     "robots_filter": q_robots_filter,
     "redirect_closure": q_redirect_closure,
@@ -576,6 +649,7 @@ ORACLES = {
     "schedule_window": _SCHEDULE_ORACLE,
     "schedule_salted": _SCHEDULE_ORACLE,
     "schedule_timing": ORACLE_SCHEDULE_TIMING,
+    "depth_priority": ORACLE_DEPTH_PRIORITY,
     "include_filter": ORACLE_INCLUDE_FILTER,
     "robots_filter": ORACLE_ROBOTS_FILTER,
     "redirect_closure": ORACLE_REDIRECT_CLOSURE,
