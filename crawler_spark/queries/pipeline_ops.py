@@ -916,6 +916,45 @@ ORACLE_MEDIA_DECODE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic stratified train/dev/test split. The split key is a pure
+# row-local expression — last md5 nibble of the doc id: 12/16 nibbles →
+# train, 2/16 → dev, 2/16 → test — so at 100 TB the assignment is a
+# projection pushed into the scan (no shuffle, no sampling job, no driver
+# state), reproducible across runs and engines, and stable under corpus
+# appends (a doc's split never changes when other docs arrive — the
+# property random sampling lacks). The language guess rides along as the
+# stratum label; realized per-stratum fractions converge to the nibble
+# weights by the hash's uniformity rather than by a stratified sampler.
+# ---------------------------------------------------------------------------
+
+_TRAIN_NIBBLES = list("0123456789ab")  # 12/16
+_DEV_NIBBLES = list("cd")  # 2/16
+
+
+def q_corpus_split(spark, sf_dir):
+    lang = q_lang_id(spark, sf_dir).select("doc_id", "lang_guess")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    assigned = lang.withColumn(
+        "split",
+        F.when(nib.isin(_TRAIN_NIBBLES), "train")
+        .when(nib.isin(_DEV_NIBBLES), "dev")
+        .otherwise("test"),
+    )
+    return assigned.select("doc_id", "lang_guess", "split").orderBy("doc_id")
+
+
+ORACLE_CORPUS_SPLIT = f"""
+    WITH lang AS ({ORACLE_LANG_ID})
+    SELECT doc_id, lang_guess,
+           CASE WHEN strpos('0123456789ab', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) > 0
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('c', 'd') THEN 'dev'
+                ELSE 'test' END AS split
+    FROM lang ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -932,6 +971,7 @@ QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "event_window": q_event_window,
     "media_decode": q_media_decode,
+    "corpus_split": q_corpus_split,
 }
 
 ORACLES = {
@@ -950,6 +990,7 @@ ORACLES = {
     "corpus_pipeline": ORACLE_CORPUS_PIPELINE,
     "event_window": ORACLE_EVENT_WINDOW,
     "media_decode": ORACLE_MEDIA_DECODE,
+    "corpus_split": ORACLE_CORPUS_SPLIT,
 }
 
 
