@@ -351,19 +351,26 @@ def _bfs_edges(spark, sf_dir):
 
 
 def q_depth_priority(spark, sf_dir):
-    edges = _bfs_edges(spark, sf_dir)
+    # edges materialized once; every BFS level checkpointed so level d's
+    # lineage is O(1), not O(d) — without the barriers each level's plan
+    # re-derives all prior levels (O(L²) total work, quadratic at scale)
+    edges = _bfs_edges(spark, sf_dir).localCheckpoint()
     level = spark.range(0, _BFS_NODES, _BFS_SEED_STEP).select(
         F.col("id").alias("k"), F.lit(0).alias("depth")
     )
-    reached = level
+    levels = [level]
     for d in range(1, DEPTH_CAP + 1):
         level = (
             level.join(edges, level["k"] == edges["src_k"])
             .select(F.col("dst_k").alias("k"))
             .distinct()
             .withColumn("depth", F.lit(d))
+            .localCheckpoint()
         )
-        reached = reached.unionByName(level)
+        levels.append(level)
+    reached = levels[0]
+    for lv in levels[1:]:
+        reached = reached.unionByName(lv)
     out = reached.groupBy("k").agg(F.min("depth").alias("depth"))
     return out.select(
         F.concat(
