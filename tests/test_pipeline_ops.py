@@ -320,3 +320,50 @@ def test_media_capability_report():
     assert set(rep["operations"]) == {"decode", "resize", "features", "frame_sample"}
     if not rep["real_decoder"]:
         assert "stub" in rep["operations"]["decode"]
+
+
+def test_corpus_split_deterministic_and_stratified(spark):
+    """Properties beyond the oracle gate: the split is a pure function of
+    doc_id (append-stability), every split is non-empty at 500 docs, and
+    realized fractions sit near the 12/2/2 nibble weights."""
+    from crawler_spark.queries.pipeline_ops import q_corpus_split
+
+    rows = q_corpus_split(spark, SF).collect()
+    again = q_corpus_split(spark, SF).collect()
+    assert rows == again  # deterministic, no sampling state
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "dev", "test"}
+    n = len(rows)
+    assert counts["train"] / n == pytest.approx(12 / 16, abs=0.08)
+    assert counts["dev"] / n == pytest.approx(2 / 16, abs=0.06)
+    assert counts["test"] / n == pytest.approx(2 / 16, abs=0.06)
+
+
+def test_depth_priority_bfs_properties(spark):
+    """Seeds get depth 0; depths are capped; every depth-d node has an
+    in-edge from a depth-(d-1) node (valid BFS layering)."""
+    from crawler_spark.queries.crawl_ops import (
+        DEPTH_CAP,
+        _BFS_NODES,
+        _BFS_SEED_STEP,
+        _bfs_edges,
+        q_depth_priority,
+    )
+
+    rows = q_depth_priority(spark, SF).collect()
+    depth = {
+        int(r["url"].rsplit("/n", 1)[1]): r["depth"] for r in rows
+    }
+    seeds = set(range(0, _BFS_NODES, _BFS_SEED_STEP))
+    assert seeds <= set(depth) and all(depth[s] == 0 for s in seeds)
+    assert all(0 <= d <= DEPTH_CAP for d in depth.values())
+    edges = [(r["src_k"], r["dst_k"]) for r in _bfs_edges(spark, SF).collect()]
+    parents = {}
+    for s, t in edges:
+        parents.setdefault(t, set()).add(s)
+    for k, d in depth.items():
+        if d == 0:
+            continue
+        assert any(depth.get(p) == d - 1 for p in parents.get(k, ())), k
