@@ -208,6 +208,58 @@ def q_dedup_minhash_verify(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def q_dedup_components(spark, sf_dir):
+    """The keep-set stage every near-dedup pipeline needs after pair
+    generation: connected components over the VERIFIED near-dup pairs
+    (Jaccard >= 0.5, q_dedup_minhash_verify), then the min doc id of each
+    component as its canonical representative — every non-canonical row is
+    a drop candidate. Components via iterative min-label propagation:
+    label(v) starts at v; each step takes the min over neighbor labels;
+    converges in <= component-diameter steps (near-dup clusters are
+    shallow — template families hub on one doc). Each iteration is ONE
+    shuffle (edge-key join + min aggregate) plus a checkpoint barrier so
+    lineage stays O(1) per step; never an all-pairs closure. The
+    convergence probe is a count() per iteration — the driver-side loop
+    bound is log-ish in practice and hard-capped."""
+    verified = q_dedup_minhash_verify(spark, sf_dir).select("a", "b")
+    edges = verified.unionByName(
+        verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(12):  # cap >> observed diameter; break on convergence
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a").agg(F.min("label").alias("nbr_label"))
+            .select(F.col("a").alias("node"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "node",
+        F.col("label").alias("component"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    ).orderBy("node")
+
+
 # (built programmatically to keep the 16 min-hash aggregates readable)
 _MH_AGGS = ",\n           ".join(
     f"min({_hash60_sql(chr(39) + str(i) + ':' + chr(39) + ' || sh')}) AS mh{i}"
@@ -278,6 +330,27 @@ ORACLE_DEDUP_MINHASH_VERIFY = f"""
     JOIN sizes zb ON zb.doc_id = i.b
     WHERE floor(1000000.0 * i.n_inter / (za.n_sh + zb.n_sh - i.n_inter)) >= 500000
     ORDER BY a, b
+"""
+
+
+# components oracle: undirected reachability closure from each node (rows
+# = sum of squared component sizes — near-dup clusters are tiny, so this
+# is cheap for the oracle even though the ENGINE must never do it)
+ORACLE_DEDUP_COMPONENTS = f"""
+    WITH RECURSIVE verified AS ({ORACLE_DEDUP_MINHASH_VERIFY}),
+    edges AS (
+      SELECT a AS s, b AS t FROM verified
+      UNION ALL
+      SELECT b AS s, a AS t FROM verified
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT e.t AS node, reach.r FROM reach JOIN edges e ON e.s = reach.node
+    )
+    SELECT node, MIN(r) AS component, (node = MIN(r)) AS is_canonical
+    FROM reach GROUP BY node ORDER BY node
 """
 
 
@@ -972,6 +1045,7 @@ QUERIES = {
     "event_window": q_event_window,
     "media_decode": q_media_decode,
     "corpus_split": q_corpus_split,
+    "dedup_components": q_dedup_components,
 }
 
 ORACLES = {
@@ -991,6 +1065,7 @@ ORACLES = {
     "event_window": ORACLE_EVENT_WINDOW,
     "media_decode": ORACLE_MEDIA_DECODE,
     "corpus_split": ORACLE_CORPUS_SPLIT,
+    "dedup_components": ORACLE_DEDUP_COMPONENTS,
 }
 
 

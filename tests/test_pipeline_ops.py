@@ -367,3 +367,38 @@ def test_depth_priority_bfs_properties(spark):
         if d == 0:
             continue
         assert any(depth.get(p) == d - 1 for p in parents.get(k, ())), k
+
+
+def test_dedup_components_match_bruteforce_bfs(spark):
+    """Label propagation must produce exactly the BFS connected components
+    of the verified-pair graph, with min-id canonicals."""
+    from crawler_spark.queries.pipeline_ops import (
+        q_dedup_components,
+        q_dedup_minhash_verify,
+    )
+
+    pairs = [(r["a"], r["b"]) for r in q_dedup_minhash_verify(spark, SF).collect()]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for start in adj:
+        if start in expected:
+            continue
+        seen, todo = {start}, [start]
+        while todo:
+            n = todo.pop()
+            for m in adj[n]:
+                if m not in seen:
+                    seen.add(m)
+                    todo.append(m)
+        root = min(seen)
+        for n in seen:
+            expected[n] = root
+    got = {
+        r["node"]: (r["component"], r["is_canonical"])
+        for r in q_dedup_components(spark, SF).collect()
+    }
+    assert {n: c for n, (c, _) in got.items()} == expected
+    assert all(canon == (n == c) for n, (c, canon) in got.items())
