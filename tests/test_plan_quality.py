@@ -1,0 +1,67 @@
+"""Plan-shape gates over every driver-contract query.
+
+The correctness gate proves VALUES; these prove the PLANS stay scalable:
+no physical CartesianProduct anywhere (an unbroadcast cross join is a
+cluster-killer at 100 TB — the intentional rule/query cross joins must
+stay BroadcastNestedLoopJoin), and no BatchEvalPython (the row-at-a-time
+Python UDF path; the engine's contract is vectorized Arrow stages only —
+ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_no_cartesian_and_no_rowwise_python_in_any_query_plan(spark):
+    from crawler_spark.queries import all_queries
+
+    bad = {}
+    for name, fn in all_queries().items():
+        plan = _physical_plan(fn(spark, SF))
+        hits = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
+
+
+def test_crawl_round_plan_has_no_cartesian_or_rowwise_python(spark):
+    """Same gates over the REAL round plan: build a round's fetch/admission
+    DataFrames on a small web and check the physical plans."""
+    import shutil
+
+    from crawler_spark.config import CrawlConfig
+    from crawler_spark.driver import CrawlRun
+    from crawler_spark.genweb import generate
+    from tests.conftest import web_to_spark
+
+    web = generate(n_docs=150, n_hosts=12, seed=7)
+    docs, redirects, robots = web_to_spark(spark, web)
+    cfg = CrawlConfig(
+        seeds=tuple(web["seeds"]["url"]),
+        domain_include_patterns=("example.org",),
+        per_host_budget=3,
+    )
+    state = "/root/repo/_data/plan_quality_state"
+    shutil.rmtree(state, ignore_errors=True)
+    run = CrawlRun(spark, cfg, state, docs, redirects, robots)
+    run.seed(list(cfg.seeds))
+    run.run_one_round()
+    for tname in ("frontier", "scheduled", "url_seen", "crawled_docs"):
+        plan = _physical_plan(run.catalog.tables[tname].read(spark))
+        assert "CartesianProduct" not in plan, tname
+        assert "BatchEvalPython" not in plan, tname
