@@ -374,3 +374,27 @@ def test_timing_scheduler_equivalence(spark, tmp_state):
     assert [u for (_, _, u) in res_b.fetch_order] != [
         u for (_, _, u) in sim_res.fetch_order
     ]
+
+
+def test_timing_scheduler_with_depth_priority(spark, tmp_state):
+    """Interaction of the two scheduler-affecting modes: depth_priority
+    gives links BFS-depth priorities (which also forces the admission
+    plan's exact-anti-join fallback instead of per-host watermarks), and
+    scheduler_mode='timing' orders fetches by virtual departure time with
+    priority as the tie-break INSIDE a host's delay lattice. The engine
+    must match the simulator under both at once."""
+    web = generate(n_docs=60, n_hosts=8, seed=13, n_redirects=5)
+    assert web["robots_rules"]["crawl_delay"].notna().any()
+    config = CrawlConfig(
+        seeds=tuple(web["seeds"]["url"]),
+        domain_include_patterns=("example.org",),
+        per_host_budget=3,
+        scheduler_mode="timing",
+        depth_priority=True,
+    )
+    sim, sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=6)
+    assert len(sim_res.fetch_order) > 10
+    # depth priorities actually bite: some fetch must carry priority > 0
+    sched = run.catalog.scheduled.read(spark)
+    assert sched.where("priority > 0").count() > 0
+    assert_equivalent(spark, sim_res, run)
