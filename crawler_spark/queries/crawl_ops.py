@@ -630,6 +630,44 @@ ORACLE_METRICS_COUNTS = """
 """
 
 
+# ---------------------------------------------------------------------------
+# A4 extension: metrics ROLLUP — per-(round, status) counts plus the
+# subtotal and grand-total rows a metrics dashboard reads, in ONE pass.
+# The reference has no grouping sets (its counters are flat TVars); this
+# is the Spark-native generalization: rollup() computes all three grains
+# in a single shuffle with partial aggregation, instead of three jobs.
+# ---------------------------------------------------------------------------
+
+def q_metrics_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.year("o_orderdate").alias("round"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+    )
+    return (
+        base.rollup("round", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_floor").alias("sum_price_floor"),
+            F.grouping_id().cast("long").alias("g_id"),
+        )
+        .orderBy("g_id", "round", "status")
+    )
+
+
+ORACLE_METRICS_ROLLUP = """
+    SELECT CAST(year(o_orderdate) AS INT) AS round,
+           o_orderstatus AS status,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_floor,
+           CAST(GROUPING_ID(year(o_orderdate), o_orderstatus) AS BIGINT) AS g_id
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+    ORDER BY g_id, round, status
+"""
+
+
 QUERIES = {
     "canonicalize": q_canonicalize,
     "resolve_links": q_resolve_links,
@@ -646,6 +684,7 @@ QUERIES = {
     "quota_cutoff": q_quota_cutoff,
     "frontier_merge": q_frontier_merge,
     "metrics_counts": q_metrics_counts,
+    "metrics_rollup": q_metrics_rollup,
 }
 
 ORACLES = {
@@ -664,6 +703,7 @@ ORACLES = {
     "quota_cutoff": ORACLE_QUOTA_CUTOFF,
     "frontier_merge": ORACLE_FRONTIER_MERGE,
     "metrics_counts": ORACLE_METRICS_COUNTS,
+    "metrics_rollup": ORACLE_METRICS_ROLLUP,
 }
 
 
