@@ -934,6 +934,62 @@ ORACLE_CORPUS_PIPELINE = f"""
 # engine's counterpart of watermarked windowed aggs; exact-int sums)
 # ---------------------------------------------------------------------------
 
+SESSION_GAP_MIN = 30  # session closes after 30 min of user inactivity
+
+
+def q_event_sessions(spark, sf_dir):
+    """Per-user sessionization with a gap timeout — Spark's built-in
+    session_window (the same aggregation runs under a watermark in
+    Structured Streaming; streaming/events.py's batch-twin pattern).
+    Session end follows Spark's semantics: last event ts + gap. The
+    oracle states it as the classic SQL islands construction (lag →
+    new-session flag → running sum → group)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value_cents",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE_EVENT_SESSIONS = f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM numbered GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+"""
+
+
 def q_event_window(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -1043,6 +1099,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "corpus_pipeline": q_corpus_pipeline,
     "event_window": q_event_window,
+    "event_sessions": q_event_sessions,
     "media_decode": q_media_decode,
     "corpus_split": q_corpus_split,
     "dedup_components": q_dedup_components,
@@ -1063,6 +1120,7 @@ ORACLES = {
     "fingerprint": ORACLE_FINGERPRINT,
     "corpus_pipeline": ORACLE_CORPUS_PIPELINE,
     "event_window": ORACLE_EVENT_WINDOW,
+    "event_sessions": ORACLE_EVENT_SESSIONS,
     "media_decode": ORACLE_MEDIA_DECODE,
     "corpus_split": ORACLE_CORPUS_SPLIT,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,

@@ -48,6 +48,55 @@ def windowed_event_counts(events: DataFrame, watermark: str = "10 minutes") -> D
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-user session windows with a gap timeout (the streaming twin of
+    the batch `event_sessions` query). Works on BOTH batch and streaming
+    DataFrames: streaming adds the watermark, which is what lets Spark
+    CLOSE a session (emit + drop state) once no event can extend it —
+    unbounded-session state is the failure mode a 100-TB event stream
+    cannot afford. Open sessions merge across micro-batches until the
+    watermark passes session_end."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_streaming_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+):
+    """availableNow drain of `input_dir` into an in-memory sink of CLOSED
+    sessions (append mode: a session row is emitted exactly once, when the
+    watermark passes its end)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    agg = sessionized_event_counts(stream, gap, watermark)
+    return (
+        agg.writeStream.format("memory")
+        .queryName("sessionized_events")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_streaming_window(
     spark: SparkSession,
     input_dir: str,

@@ -93,3 +93,64 @@ def test_watermarked_streaming_window(spark, tmp_path):
     assert got[(BASE, "click")] == (2, 350)
     # the in-watermark late event really landed: H2/view exists via late_h2 only
     assert got[(BASE + dt.timedelta(hours=2), "view")] == (1, 100)
+
+
+def test_watermarked_streaming_sessions(spark, tmp_path):
+    """Session windows under a watermark: closed sessions emit exactly the
+    batch twin's rows, an in-watermark straggler EXTENDS its open session,
+    and a sub-watermark straggler is dropped. Spark's late filter uses the
+    watermark in effect at the BATCH START (one batch lagged from the data
+    that advanced it), so the stale row arrives two batches after the
+    closer that moved the watermark past it."""
+    from crawler_spark.streaming.events import (
+        run_streaming_sessions,
+        sessionized_event_counts,
+    )
+
+    in_dir, ckpt = str(tmp_path / "sev"), str(tmp_path / "sck")
+
+    # u1: session A (0,10 -> end 40), session B (120); u2: one session (60)
+    f1 = [_ev(1, 0, "click", 1.0), _ev(2, 10, "click", 1.0),
+          _ev(3, 60, "view", 1.0), _ev(4, 120, "click", 1.0)]
+    f1 = [dict(r, user_id=u) for r, u in zip(f1, (1, 1, 2, 1))]
+    # watermark at f2's start = 120 - 10 = 110
+    late_ok = dict(_ev(5, 125, "click", 1.0), user_id=1)   # >= 110: extends B
+    closer = dict(_ev(6, 600, "view", 1.0), user_id=3)     # wm -> 590 next
+    f3 = [dict(_ev(7, 700, "view", 1.0), user_id=3)]       # wm 590 in effect
+    stale = [dict(_ev(8, 5, "click", 99.0), user_id=1)]    # 585 min late: dropped
+
+    _write(in_dir, "s1.parquet", f1, 0)
+    _write(in_dir, "s2.parquet", [late_ok, closer], 1)
+    _write(in_dir, "s3.parquet", f3, 2)
+    _write(in_dir, "s4.parquet", stale, 3)
+
+    q = run_streaming_sessions(spark, in_dir, ckpt)
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sessionized_events").collect()
+    }
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in (p["stateOperators"] or [])
+    )
+    assert dropped >= 1  # the stale row hit the watermark filter
+
+    # batch twin over the non-dropped events, restricted to sessions the
+    # final watermark (700 - 10 = 690 min) actually closed
+    import pandas as pd
+
+    kept = pd.DataFrame(f1 + [late_ok, closer] + f3)
+    batch = sessionized_event_counts(spark.createDataFrame(kept))
+    wm_final = BASE + dt.timedelta(minutes=690)
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in batch.collect()
+        if r["session_end"] <= wm_final
+    }
+    assert got == expected
+    # the in-watermark straggler really extended session B (2 events, +30min end)
+    assert got[(1, BASE + dt.timedelta(minutes=120), BASE + dt.timedelta(minutes=155))] == 2
+    # u3's 700-min session is still open (watermark never passed its end)
+    assert (3, BASE + dt.timedelta(minutes=700), BASE + dt.timedelta(minutes=730)) not in got
