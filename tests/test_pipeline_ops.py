@@ -402,3 +402,17 @@ def test_dedup_components_match_bruteforce_bfs(spark):
     }
     assert {n: c for n, (c, _) in got.items()} == expected
     assert all(canon == (n == c) for n, (c, canon) in got.items())
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """Metrics-path sketch sanity (SURVEY §2.8: approx_count_distinct where
+    exactness is not needed): HLL++ estimate within its configured rsd of
+    the exact distinct count on the doc-id universe."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    row = d.agg(
+        F.countDistinct("doc_id").alias("exact"),
+        F.approx_count_distinct("doc_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.06 * row["exact"])
