@@ -12,13 +12,14 @@ bit-exactly.
 
 from __future__ import annotations
 
-from crawler_spark.queries import crawl_ops, pipeline_ops
+from crawler_spark.queries import corpus_ops, crawl_ops, pipeline_ops
 
 
 def all_queries():
     q = {}
     q.update(crawl_ops.QUERIES)
     q.update(pipeline_ops.QUERIES)
+    q.update(corpus_ops.QUERIES)
     return q
 
 
@@ -26,4 +27,5 @@ def all_oracles():
     o = {}
     o.update(crawl_ops.ORACLES)
     o.update(pipeline_ops.ORACLES)
+    o.update(corpus_ops.ORACLES)
     return o

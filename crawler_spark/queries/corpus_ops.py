@@ -1,0 +1,361 @@
+"""Corpus-analytics operators layered on the crawl store: TF-IDF term
+scoring, benchmark decontamination, link-graph PageRank, and incremental
+snapshot diffing. These extend the training-data pipeline layer
+(pipeline_ops.py) with the remaining jobs a production corpus refresh
+runs between "crawl finished" and "dataset shipped".
+
+Same design rules as pipeline_ops.py:
+- hot-path logic JVM-side; hashing is md5-based so DuckDB reproduces it
+- float outputs floored to ints at row level (sums stay exact bigints)
+- iterative plans checkpoint per step so lineage stays O(1)
+- every scalar the plan needs (corpus size, id-domain modulus) is joined
+  in as a broadcast 1-row aggregate, never a driver-side action
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from crawler_spark.queries.pipeline_ops import (
+    _DOC_SHINGLES_SQL,
+    _TOKENS_SQL,
+    _doc_shingles,
+    _docs_tokens,
+    _t,
+)
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document.
+#
+# Scale shape: ONE shuffle on (doc_id, term) builds tf (map-side partial
+# agg collapses repeated tokens early), ONE on term builds df, and the
+# corpus size N rides in as a broadcast 1-row aggregate (a
+# BroadcastNestedLoopJoin of a single row — never a CartesianProduct).
+# The per-doc top-k window partitions by doc_id, so no global sort.
+#
+# Determinism note: idf = ln((N+1)/(df+1)) is an irrational double; both
+# engines compute it to <= 1 ulp but not necessarily the SAME ulp, so a
+# score that lands exactly on an integer could floor differently. The
+# +1e-6 nudge before floor() moves the only NATURAL integer attractor
+# (df+1 == N+1 -> ln 1 = 0) safely off the boundary on both engines;
+# everything else sits O(1) away from a boundary relative to ulp noise.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    toks = _docs_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("tokens").alias("term")
+    ).withColumn("term", F.lower("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_ppm",
+            F.floor(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                * F.lit(1000000.0)
+                + F.lit(1e-6)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_ppm").desc(), F.col("term"))
+    top = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= TFIDF_TOPK)
+    return top.select("doc_id", "rk", "term", "tf", "df", "score_ppm").orderBy(
+        "doc_id", "rk"
+    )
+
+
+ORACLE_TFIDF_TOPTERMS = f"""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(tokens)) AS term FROM ({_TOKENS_SQL})
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(floor(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) * 1000000.0
+                        + 0.000001) AS BIGINT) AS score_ppm
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_ppm DESC, term
+      ) AS rk FROM scored
+    )
+    SELECT doc_id, CAST(rk AS INT) AS rk, term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, score_ppm
+    FROM ranked WHERE rk <= {TFIDF_TOPK} ORDER BY doc_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag TRAIN documents sharing any 3-token
+# shingle with a TEST-split document (the overlap check every training
+# pipeline runs before shipping — leaked eval shingles poison the split).
+# The split is the same deterministic md5-nibble assignment as
+# corpus_split, so the benchmark set is derived in-query, no side data.
+#
+# Scale shape: the test split is a small fixed fraction (2/16) of the
+# corpus, its distinct-shingle set smaller still — at cluster scale that
+# side broadcasts and the train side streams through a broadcast hash
+# join (here Catalyst/AQE picks it from stats). One groupBy(doc_id)
+# shuffle aggregates hit counts.
+# ---------------------------------------------------------------------------
+
+_TEST_NIBBLES = list("ef")  # corpus_split: everything not in 0-9ab / cd
+
+
+def _split_nibble():
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+
+
+def q_decontaminate(spark, sf_dir):
+    sh = _doc_shingles(spark, sf_dir)
+    nib = _split_nibble()
+    bench = (
+        sh.where(nib.isin(_TEST_NIBBLES))
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    train_ex = sh.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1).isin(
+            list("0123456789ab")
+        )
+    ).select("doc_id", F.explode("shingles").alias("sh"))
+    hits = (
+        train_ex.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    return hits.select("doc_id", "n_shared_shingles").orderBy("doc_id")
+
+
+ORACLE_DECONTAMINATE = f"""
+    WITH sh AS (
+      SELECT doc_id, shingles FROM ({_DOC_SHINGLES_SQL})
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('e', 'f')
+    ),
+    train_ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+      WHERE strpos('0123456789ab', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) > 0
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM train_ex JOIN bench USING (s)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank over a deterministic synthetic link graph (the host/page
+# authority score a crawler feeds back into frontier priority).
+#
+# Graph: node v links to (v*31 + j) mod M for j = 1 .. 1 + (v mod 3),
+# with M = max(doc_id)+1; targets that don't exist in the corpus are
+# dropped by a join against the node set (id gaps are tolerated, not
+# assumed away). Nodes whose links all vanish become dangling and simply
+# leak their mass — the standard simplification, identical on both sides.
+#
+# Arithmetic is ALL integer (parts-per-trillion of total mass): per-edge
+# contribution r*85 div (100*outdeg), teleport (15 * 10^12) div (100*n).
+# Long sums are exact and order-independent, so the result is
+# bit-identical across engines and across shuffle orders — no float
+# accumulation anywhere in an iterative plan.
+#
+# Scale shape: each of the 3 unrolled iterations is one join (edges x
+# ranks, equi on src) + one groupBy(dst) shuffle; the rank table is
+# checkpointed per step so lineage is O(1) per iteration (same pattern
+# as dedup_components / the BFS levels). Edges materialize once.
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+_PR_TOTAL = 10**12  # total mass, parts-per-trillion units
+
+
+def q_pagerank(spark, sf_dir):
+    nodes = _t(spark, sf_dir, "documents").select("doc_id")
+    scalars = F.broadcast(
+        nodes.agg(
+            (F.max("doc_id") + F.lit(1)).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    raw_edges = (
+        nodes.crossJoin(scalars)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), F.lit(1) + (F.col("doc_id") % 3).cast("int"))
+            ).alias("j"),
+            "m",
+        )
+        .select("src", ((F.col("src") * 31 + F.col("j")) % F.col("m")).alias("dst"))
+    )
+    edges = (
+        raw_edges.join(nodes.select(F.col("doc_id").alias("dst")), "dst")
+        .withColumn("outdeg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint()
+    )
+    ranks = (
+        nodes.crossJoin(scalars)
+        .select(
+            "doc_id",
+            F.expr(f"{_PR_TOTAL} div n").alias("r"),
+            F.expr(f"(15 * {_PR_TOTAL}) div (100 * n)").alias("t"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks.select(F.col("doc_id").alias("src"), "r"), "src")
+            .select("dst", F.expr("(r * 85) div (100 * outdeg)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ranks.select("doc_id", "t")
+            .join(contrib.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("t") + F.coalesce(F.col("inflow"), F.lit(0))).alias("r"),
+                "t",
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("doc_id", F.col("r").alias("rank_ppt")).orderBy("doc_id")
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.doc_id,
+             s.t + coalesce(sum((p.r * 85) // (100 * e.outdeg)), 0) AS r,
+             s.t
+      FROM nodes n
+      CROSS JOIN scal s
+      LEFT JOIN edges e ON e.dst = n.doc_id
+      LEFT JOIN {prev} p ON p.doc_id = e.src
+      GROUP BY n.doc_id, s.t
+    )"""
+
+
+ORACLE_PAGERANK = f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    scal AS (
+      SELECT max(doc_id) + 1 AS m, count(*) AS n,
+             (15 * {_PR_TOTAL}) // (100 * count(*)) AS t
+      FROM nodes
+    ),
+    raw_edges AS (
+      SELECT n.doc_id AS src,
+             (n.doc_id * 31 + j.j) % s.m AS dst
+      FROM nodes n
+      CROSS JOIN scal s
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(1, 2 + CAST(n.doc_id % 3 AS INT))) AS j
+      ) j
+    ),
+    kept AS (
+      SELECT e.src, e.dst FROM raw_edges e JOIN nodes t ON t.doc_id = e.dst
+    ),
+    edges AS (
+      SELECT src, dst, count(*) OVER (PARTITION BY src) AS outdeg FROM kept
+    ),
+    it0 AS (
+      SELECT n.doc_id, {_PR_TOTAL} // s.n AS r, s.t
+      FROM nodes n CROSS JOIN scal s
+    ),
+    {_pr_iter_sql("it0", "it1")},
+    {_pr_iter_sql("it1", "it2")},
+    {_pr_iter_sql("it2", "it3")}
+    SELECT doc_id, CAST(r AS BIGINT) AS rank_ppt FROM it3 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental snapshot delta: the re-crawl diff. The "previous" snapshot
+# is derived deterministically from the current corpus — every 7th doc is
+# new since then (added), every 5th changed content (content hash
+# differs), and a shadow set of ids (doc_id+10^6 for every 11th doc) was
+# dropped from the current crawl (removed). A full-outer join on doc_id
+# comparing content hashes classifies every row.
+#
+# Scale shape: at 100 TB both snapshots are bucket-partitioned by doc_id
+# in the store, so this is a storage-partitioned (shuffle-free) join;
+# here it is one equi-join shuffle. md5 is computed per row before the
+# join so only (doc_id, 32-byte hash) crosses the wire, never the text.
+# ---------------------------------------------------------------------------
+
+def q_snapshot_delta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cur = d.select("doc_id", F.md5("text").alias("h_cur"))
+    prev_kept = d.where("doc_id % 7 != 0").select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [stale]")))
+            .otherwise(F.col("text"))
+        ).alias("h_prev"),
+    )
+    prev_gone = d.where("doc_id % 11 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.md5(F.concat(F.col("text"), F.lit(" [gone]"))).alias("h_prev"),
+    )
+    prev = prev_kept.unionByName(prev_gone)
+    joined = cur.join(prev, "doc_id", "full_outer")
+    return (
+        joined.select(
+            "doc_id",
+            F.when(F.col("h_prev").isNull(), "added")
+            .when(F.col("h_cur").isNull(), "removed")
+            .when(F.col("h_cur") != F.col("h_prev"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SNAPSHOT_DELTA = """
+    WITH cur AS (SELECT doc_id, md5(text) AS h_cur FROM documents),
+    prev AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [stale]' ELSE text END)
+               AS h_prev
+      FROM documents WHERE doc_id % 7 != 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, md5(text || ' [gone]') AS h_prev
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
+           CASE WHEN h_prev IS NULL THEN 'added'
+                WHEN h_cur IS NULL THEN 'removed'
+                WHEN h_cur != h_prev THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+    ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "tfidf_topterms": q_tfidf_topterms,
+    "decontaminate": q_decontaminate,
+    "pagerank": q_pagerank,
+    "snapshot_delta": q_snapshot_delta,
+}
+
+ORACLES = {
+    "tfidf_topterms": ORACLE_TFIDF_TOPTERMS,
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "pagerank": ORACLE_PAGERANK,
+    "snapshot_delta": ORACLE_SNAPSHOT_DELTA,
+}
