@@ -12,7 +12,7 @@ bit-exactly.
 
 from __future__ import annotations
 
-from crawler_spark.queries import corpus_ops, crawl_ops, pipeline_ops
+from crawler_spark.queries import corpus_ops, crawl_ops, linkgraph_ops, pipeline_ops
 
 
 def all_queries():
@@ -20,6 +20,7 @@ def all_queries():
     q.update(crawl_ops.QUERIES)
     q.update(pipeline_ops.QUERIES)
     q.update(corpus_ops.QUERIES)
+    q.update(linkgraph_ops.QUERIES)
     return q
 
 
@@ -28,4 +29,5 @@ def all_oracles():
     o.update(crawl_ops.ORACLES)
     o.update(pipeline_ops.ORACLES)
     o.update(corpus_ops.ORACLES)
+    o.update(linkgraph_ops.ORACLES)
     return o
