@@ -474,10 +474,30 @@ def main():
         "total_bench_sec": round(time.time() - t_all, 1),
         "detail": "BENCH/BENCH_full.json",
     }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # belt-and-braces: never outgrow the tail window
-        compact.pop("laps_high_best_round", None)
-        line = json.dumps(compact, separators=(",", ":"))
+    # belt-and-braces: never outgrow the driver's ~2000-char tail window.
+    # Trim in order of decreasing dispensability (everything trimmed away
+    # survives in BENCH/BENCH_full.json): per-phase laps, attempt arrays,
+    # query-sec precision, then whole slowest-query entries.
+    def _line():
+        return json.dumps(compact, separators=(",", ":"))
+
+    line = _line()
+    for trim in (
+        lambda: compact.pop("laps_high_best_round", None),
+        lambda: compact["crawl_scaling"].pop("attempt_efficiencies", None),
+        lambda: compact.update(
+            queries={k: round(v, 1) for k, v in compact["queries"].items()}
+        ),
+    ):
+        if len(line) <= 1900:
+            break
+        trim()
+        line = _line()
+    while len(line) > 1900 and compact["queries"]:
+        slowest = max(compact["queries"], key=compact["queries"].get)
+        compact["queries"].pop(slowest)
+        compact["queries_truncated"] = True
+        line = _line()
     print(line)
 
 
