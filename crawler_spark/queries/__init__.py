@@ -12,7 +12,13 @@ bit-exactly.
 
 from __future__ import annotations
 
-from crawler_spark.queries import corpus_ops, crawl_ops, linkgraph_ops, pipeline_ops
+from crawler_spark.queries import (
+    corpus_ops,
+    crawl_ops,
+    dataset_ops,
+    linkgraph_ops,
+    pipeline_ops,
+)
 
 
 def all_queries():
@@ -21,6 +27,7 @@ def all_queries():
     q.update(pipeline_ops.QUERIES)
     q.update(corpus_ops.QUERIES)
     q.update(linkgraph_ops.QUERIES)
+    q.update(dataset_ops.QUERIES)
     return q
 
 
@@ -30,4 +37,5 @@ def all_oracles():
     o.update(pipeline_ops.ORACLES)
     o.update(corpus_ops.ORACLES)
     o.update(linkgraph_ops.ORACLES)
+    o.update(dataset_ops.ORACLES)
     return o
