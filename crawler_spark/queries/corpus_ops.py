@@ -182,7 +182,11 @@ PAGERANK_ITERS = 3
 _PR_TOTAL = 10**12  # total mass, parts-per-trillion units
 
 
-def q_pagerank(spark, sf_dir):
+def _synth_link_graph(spark, sf_dir):
+    """(nodes, scalars, edges) of the deterministic synthetic doc graph:
+    v -> (v*31 + j) mod M for j = 1 .. 1 + (v mod 3), M = max(doc_id)+1,
+    targets filtered to existing docs. Shared by pagerank and hits so
+    both authority scores rank the SAME graph."""
     nodes = _t(spark, sf_dir, "documents").select("doc_id")
     scalars = F.broadcast(
         nodes.agg(
@@ -201,9 +205,14 @@ def q_pagerank(spark, sf_dir):
         )
         .select("src", ((F.col("src") * 31 + F.col("j")) % F.col("m")).alias("dst"))
     )
+    edges = raw_edges.join(nodes.select(F.col("doc_id").alias("dst")), "dst")
+    return nodes, scalars, edges
+
+
+def q_pagerank(spark, sf_dir):
+    nodes, scalars, kept = _synth_link_graph(spark, sf_dir)
     edges = (
-        raw_edges.join(nodes.select(F.col("doc_id").alias("dst")), "dst")
-        .withColumn("outdeg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        kept.withColumn("outdeg", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .localCheckpoint()
     )
     ranks = (
@@ -346,16 +355,249 @@ ORACLE_SNAPSHOT_DELTA = """
 """
 
 
+# ---------------------------------------------------------------------------
+# HITS hub/authority over the same synthetic link graph as pagerank —
+# the second classic crawl-feedback score (a page can be a good HUB
+# without being a good AUTHORITY; pagerank conflates the two).
+#
+# Arithmetic is ALL integer: scores live in parts-per-million of the
+# per-iteration max (normalize-by-max instead of the textbook L2 norm —
+# same fixed point direction, but exactly representable, so long sums
+# stay order-independent and the result is bit-identical across engines
+# and shuffle orders). Each half-step is one equi-join (edges x scores)
+# + one groupBy shuffle; the max rides back in as a broadcast 1-row
+# aggregate; score tables are localCheckpoint-ed per half-step so
+# lineage stays O(1) per iteration (the pagerank/BFS pattern).
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 2
+_HITS_SCALE = 10**6
+
+
+def _hits_norm(scores, c):
+    """score / max(score) in ppm, exact integers; one broadcast."""
+    scores = scores.localCheckpoint()
+    mx = F.broadcast(scores.agg(F.max(c).alias("mx")))
+    return scores.crossJoin(mx).select(
+        "doc_id", F.expr(f"({c} * {_HITS_SCALE}) div mx").alias(c)
+    )
+
+
+def q_hits(spark, sf_dir):
+    nodes, _, edges = _synth_link_graph(spark, sf_dir)
+    edges = edges.localCheckpoint()
+    hub = nodes.select("doc_id", F.lit(_HITS_SCALE).cast("long").alias("h"))
+    auth = None
+    for _ in range(HITS_ITERS):
+        auth = _hits_norm(
+            edges.join(hub.select(F.col("doc_id").alias("src"), "h"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .withColumnRenamed("dst", "doc_id"),
+            "a",
+        )
+        hub = _hits_norm(
+            edges.join(auth.select(F.col("doc_id").alias("dst"), "a"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .withColumnRenamed("src", "doc_id"),
+            "h",
+        )
+    return (
+        nodes.join(hub, "doc_id", "left")
+        .join(auth, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("h", F.lit(0)).alias("hub_ppm"),
+            F.coalesce("a", F.lit(0)).alias("auth_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_HITS = f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    scal AS (SELECT max(doc_id) + 1 AS m FROM nodes),
+    raw_edges AS (
+      SELECT n.doc_id AS src,
+             (n.doc_id * 31 + j.j) % s.m AS dst
+      FROM nodes n
+      CROSS JOIN scal s
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(1, 2 + CAST(n.doc_id % 3 AS INT))) AS j
+      ) j
+    ),
+    edges AS (
+      SELECT e.src, e.dst FROM raw_edges e JOIN nodes t ON t.doc_id = e.dst
+    ),
+    a1r AS (SELECT dst AS doc_id, sum({_HITS_SCALE}) AS a FROM edges GROUP BY 1),
+    a1 AS (SELECT doc_id, (a * {_HITS_SCALE}) // (SELECT max(a) FROM a1r) AS a FROM a1r),
+    h1r AS (SELECT src AS doc_id, sum(a1.a) AS h
+            FROM edges JOIN a1 ON a1.doc_id = edges.dst GROUP BY 1),
+    h1 AS (SELECT doc_id, (h * {_HITS_SCALE}) // (SELECT max(h) FROM h1r) AS h FROM h1r),
+    a2r AS (SELECT dst AS doc_id, sum(h1.h) AS a
+            FROM edges JOIN h1 ON h1.doc_id = edges.src GROUP BY 1),
+    a2 AS (SELECT doc_id, (a * {_HITS_SCALE}) // (SELECT max(a) FROM a2r) AS a FROM a2r),
+    h2r AS (SELECT src AS doc_id, sum(a2.a) AS h
+            FROM edges JOIN a2 ON a2.doc_id = edges.dst GROUP BY 1),
+    h2 AS (SELECT doc_id, (h * {_HITS_SCALE}) // (SELECT max(h) FROM h2r) AS h FROM h2r)
+    SELECT n.doc_id,
+           CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_ppm,
+           CAST(coalesce(a2.a, 0) AS BIGINT) AS auth_ppm
+    FROM nodes n LEFT JOIN h2 USING (doc_id) LEFT JOIN a2 USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup (the CCNet/RefinedWeb "duplicated line removal"
+# stage, adapted to a corpus without newlines): each document is cut
+# into fixed-width token passages ROW-LOCALLY (a JVM higher-order
+# function — no shuffle to build passages), passages are counted across
+# the corpus, and any passage appearing in more than PASSAGE_MAX_DF
+# distinct documents is dropped from every document that carries it.
+# Output per doc: passage count, dropped count, md5 of the rebuilt
+# (kept-passages-in-order) text, so the oracle proves the surviving
+# TEXT byte-for-byte, not just the counts.
+#
+# Scale shape: one groupBy(passage) shuffle for the df table, one
+# equi-join back (at 100 TB the df table is dominated by unique
+# passages — it broadcasts only after the same df > K filter used here
+# would prune it; the general shape is the shuffle join), one
+# groupBy(doc_id) rebuild. Per-doc passage lists are bounded by doc
+# length, never by corpus size — no hot-key quadratic anywhere.
+# ---------------------------------------------------------------------------
+
+PASSAGE_W = 3
+PASSAGE_MAX_DF = 2
+
+_PASSAGES_SPARK = (
+    f"transform(sequence(0, (size(tokens) - 1) div {PASSAGE_W}), "
+    f"i -> struct(i AS chunk, "
+    f"array_join(slice(tokens, i * {PASSAGE_W} + 1, {PASSAGE_W}), ' ') AS passage))"
+)
+
+
+def q_passage_dedup(spark, sf_dir):
+    p = (
+        _docs_tokens(spark, sf_dir)
+        .where(F.size("tokens") > 0)
+        .select("doc_id", F.explode(F.expr(_PASSAGES_SPARK)).alias("s"))
+        .select("doc_id", F.col("s.chunk").alias("chunk"), F.col("s.passage").alias("passage"))
+    )
+    dfs = p.groupBy("passage").agg(F.countDistinct("doc_id").alias("df"))
+    flagged = p.join(dfs, "passage").withColumn(
+        "dropped", F.col("df") > F.lit(PASSAGE_MAX_DF)
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("n_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(~F.col("dropped"), F.struct("chunk", "passage"))
+                            )
+                        ),
+                        lambda s: s["passage"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PASSAGE_DEDUP = f"""
+    WITH toks AS (
+      SELECT doc_id, tokens FROM ({_TOKENS_SQL}) WHERE len(tokens) > 0
+    ),
+    p AS (
+      SELECT doc_id, g.i AS chunk,
+             array_to_string(
+               tokens[g.i * {PASSAGE_W} + 1 : g.i * {PASSAGE_W} + {PASSAGE_W}], ' '
+             ) AS passage
+      FROM toks,
+           LATERAL unnest(generate_series(0, (len(tokens) - 1) // {PASSAGE_W})) AS g(i)
+    ),
+    dfs AS (SELECT passage, count(DISTINCT doc_id) AS df FROM p GROUP BY 1)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN df > {PASSAGE_MAX_DF} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           md5(coalesce(
+             string_agg(CASE WHEN df <= {PASSAGE_MAX_DF} THEN passage END,
+                        ' ' ORDER BY chunk), '')) AS kept_hash
+    FROM p JOIN dfs USING (passage)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide n-gram heavy hitters: the top-K bigrams by occurrence —
+# the frequency table a tokenizer-training / boilerplate-detection pass
+# reads first. ONE groupBy(bigram) shuffle with map-side partial agg,
+# then TakeOrderedAndProject (per-partition top-K reduced on the driver
+# — never a global sort of the full frequency table). Ties broken by
+# bigram text, so the result set is a total order and deterministic.
+# ---------------------------------------------------------------------------
+
+TOP_NGRAMS_K = 50
+
+_BIGRAMS_SPARK_EXPR = (
+    "transform(sequence(0, size(tokens) - 2), "
+    "i -> lower(concat(tokens[i], ' ', tokens[i + 1])))"
+)
+
+
+def q_top_ngrams(spark, sf_dir):
+    grams = (
+        _docs_tokens(spark, sf_dir)
+        .where(F.size("tokens") >= 2)
+        .select(F.explode(F.expr(_BIGRAMS_SPARK_EXPR)).alias("bigram"))
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(TOP_NGRAMS_K)
+    )
+
+
+ORACLE_TOP_NGRAMS = f"""
+    WITH big AS (
+      SELECT list_transform(range(1, len(tokens)),
+                            i -> lower(tokens[i] || ' ' || tokens[i + 1])) AS terms
+      FROM ({_TOKENS_SQL}) WHERE len(tokens) >= 2
+    )
+    SELECT term AS bigram, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM (SELECT unnest(terms) AS term FROM big)
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT {TOP_NGRAMS_K}
+"""
+
+
 QUERIES = {
     "tfidf_topterms": q_tfidf_topterms,
     "decontaminate": q_decontaminate,
     "pagerank": q_pagerank,
+    "hits": q_hits,
     "snapshot_delta": q_snapshot_delta,
+    "passage_dedup": q_passage_dedup,
+    "top_ngrams": q_top_ngrams,
 }
 
 ORACLES = {
     "tfidf_topterms": ORACLE_TFIDF_TOPTERMS,
     "decontaminate": ORACLE_DECONTAMINATE,
     "pagerank": ORACLE_PAGERANK,
+    "hits": ORACLE_HITS,
     "snapshot_delta": ORACLE_SNAPSHOT_DELTA,
+    "passage_dedup": ORACLE_PASSAGE_DEDUP,
+    "top_ngrams": ORACLE_TOP_NGRAMS,
 }

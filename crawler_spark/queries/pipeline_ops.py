@@ -1597,3 +1597,64 @@ QUERIES["media_frames"] = q_media_frames
 ORACLES["media_resize"] = ORACLE_MEDIA_RESIZE
 ORACLES["media_features"] = ORACLE_MEDIA_FEATURES
 ORACLES["media_frames"] = ORACLE_MEDIA_FRAMES
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids — the k-means/IVF training half-step
+# (assignment's counterpart) and the class-prototype table a curriculum
+# or contrastive-sampling pass reads. Dimension values are fixed-pointed
+# ROW-LOCALLY (floor(double(v) * 10^6) — float32 widened to double is
+# exact, and both engines floor the same double), so the per-(label,
+# dim) sums are exact bigints: order-independent, bit-identical across
+# engines and shuffle orders. The mean is an integer `div` (truncation
+# toward zero on both engines — verified for negatives).
+#
+# Scale shape: posexplode is row-local (dim fan-out only), then ONE
+# groupBy(label, dim) shuffle with map-side partial agg; output is
+# labels x dims rows — tiny regardless of corpus size. This is exactly
+# the shape of one distributed k-means iteration at 10^9 vectors.
+# ---------------------------------------------------------------------------
+
+_CENTROID_SCALE = 10**6
+
+
+def q_embedding_centroids(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * _CENTROID_SCALE).cast("long").alias("fx"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("fx").alias("sum_fixed"))
+        .select(
+            "label",
+            "dim",
+            "n",
+            "sum_fixed",
+            F.expr("sum_fixed div n").alias("centroid_fixed"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+ORACLE_EMBEDDING_CENTROIDS = f"""
+    WITH ex AS (
+      SELECT label, CAST(g.dim AS INT) AS dim,
+             CAST(floor(CAST(embedding[g.dim + 1] AS DOUBLE) * {_CENTROID_SCALE})
+                  AS BIGINT) AS fx
+      FROM embeddings,
+           LATERAL unnest(generate_series(0, len(embedding) - 1)) AS g(dim)
+    )
+    SELECT label, dim,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(fx) AS sum_fixed,
+           sum(fx) // count(*) AS centroid_fixed
+    FROM ex GROUP BY 1, 2 ORDER BY label, dim
+"""
+
+QUERIES["embedding_centroids"] = q_embedding_centroids
+ORACLES["embedding_centroids"] = ORACLE_EMBEDDING_CENTROIDS

@@ -156,3 +156,125 @@ def test_snapshot_delta_closed_form(spark):
         if doc_id % 11 == 0:
             expect[doc_id + 1000000] = "removed"  # shadow id gone from cur
     assert got == expect
+
+
+def test_hits_matches_pure_python_integer_reference(spark):
+    """Bit-exact parity with a single-threaded integer HITS — same
+    guarantee as the pagerank test: normalize-by-max in exact ppm
+    integers means shuffle order can never move a score."""
+    from crawler_spark.queries.corpus_ops import HITS_ITERS, _HITS_SCALE, q_hits
+
+    ids = [r[0] for r in _docs()]
+    id_set = set(ids)
+    m = max(ids) + 1
+    edges = []
+    for v in ids:
+        for j in range(1, 2 + v % 3):
+            t = (v * 31 + j) % m
+            if t in id_set:
+                edges.append((v, t))
+
+    hub = {v: _HITS_SCALE for v in ids}
+    auth = {}
+    for _ in range(HITS_ITERS):
+        auth = {}
+        for s, d in edges:
+            if s in hub:
+                auth[d] = auth.get(d, 0) + hub[s]
+        amax = max(auth.values())
+        auth = {k: (v * _HITS_SCALE) // amax for k, v in auth.items()}
+        hub = {}
+        for s, d in edges:
+            if d in auth:
+                hub[s] = hub.get(s, 0) + auth[d]
+        hmax = max(hub.values())
+        hub = {k: (v * _HITS_SCALE) // hmax for k, v in hub.items()}
+
+    expected = [(v, hub.get(v, 0), auth.get(v, 0)) for v in sorted(ids)]
+    got = [tuple(r) for r in q_hits(spark, SF).collect()]
+    assert got == expected
+    # non-degenerate: scores actually spread, max is hit exactly
+    assert len({h for _, h, _ in expected}) > 3
+    assert max(h for _, h, _ in expected) == _HITS_SCALE
+
+
+def test_passage_dedup_matches_pure_python(spark):
+    """Counts AND the rebuilt kept-text hash against a single-threaded
+    reference; also proves the corpus actually exercises the drop path."""
+    from crawler_spark.queries.corpus_ops import (
+        PASSAGE_MAX_DF,
+        PASSAGE_W,
+        q_passage_dedup,
+    )
+
+    per_doc = {}
+    for doc_id, text in _docs():
+        toks = _tokens(text)
+        if not toks:
+            continue
+        per_doc[doc_id] = [
+            " ".join(toks[i : i + PASSAGE_W]) for i in range(0, len(toks), PASSAGE_W)
+        ]
+    df = {}
+    for doc_id, ps in per_doc.items():
+        for p in set(ps):
+            df[p] = df.get(p, 0) + 1
+
+    expected = []
+    for doc_id in sorted(per_doc):
+        ps = per_doc[doc_id]
+        kept = [p for p in ps if df[p] <= PASSAGE_MAX_DF]
+        expected.append(
+            (
+                doc_id,
+                len(ps),
+                len(ps) - len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        )
+    got = [tuple(r) for r in q_passage_dedup(spark, SF).collect()]
+    assert got == expected
+    assert sum(r[2] for r in expected) > 0  # drop path exercised
+    assert any(r[2] == 0 for r in expected) or len(expected) > 0
+
+
+def test_top_ngrams_matches_pure_python_counter(spark):
+    from collections import Counter
+
+    from crawler_spark.queries.corpus_ops import TOP_NGRAMS_K, q_top_ngrams
+
+    cnt = Counter()
+    for _, text in _docs():
+        toks = _tokens(text)
+        for i in range(len(toks) - 1):
+            cnt[f"{toks[i]} {toks[i + 1]}".lower()] += 1
+    expected = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_NGRAMS_K]
+    got = [tuple(r) for r in q_top_ngrams(spark, SF).collect()]
+    assert got == expected
+
+
+def test_embedding_centroids_exact_integer_sums(spark):
+    """Fixed-point parity with numpy-free pure Python over the raw
+    parquet floats — the sum must be exact (order-independent), and the
+    truncating div must match."""
+    import math
+
+    from crawler_spark.queries.pipeline_ops import (
+        _CENTROID_SCALE,
+        q_embedding_centroids,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT label, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    acc = {}
+    for label, emb in rows:
+        for dim, v in enumerate(emb):
+            n, s = acc.get((label, dim), (0, 0))
+            acc[(label, dim)] = (n + 1, s + math.floor(float(v) * _CENTROID_SCALE))
+    expected = []
+    for (label, dim), (n, s) in sorted(acc.items()):
+        q = abs(s) // n
+        expected.append((label, dim, n, s, q if s >= 0 else -q))
+    got = [tuple(r) for r in q_embedding_centroids(spark, SF).collect()]
+    assert got == expected
