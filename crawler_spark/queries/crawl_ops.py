@@ -907,3 +907,71 @@ ORACLE_WARC_RECORDS = r"""
 
 QUERIES["warc_records"] = q_warc_records
 ORACLES["warc_records"] = ORACLE_WARC_RECORDS
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-span analytics — the input_hint's table shape (doc_id,
+# spans:array<struct<kind,text,media_ref,offset>>) exercised as a gated
+# DataFrame op, not just inside the crawl loop: per-document span-kind
+# counts, text mass, first media offset and the reassembled-text hash,
+# ALL computed by row-local JVM higher-order functions over the struct
+# array (filter / transform / aggregate / array_min) — zero shuffle,
+# one WholeStageCodegen span, the way span-document analytics should run
+# at 100 TB. Spans are synthesized deterministically from `documents`
+# (doc_id % 5 + 1 spans, even offsets text chunks, odd offsets media
+# refs) so the DuckDB oracle reproduces them exactly.
+# ---------------------------------------------------------------------------
+
+_SPAN_SYNTH = (
+    "transform(sequence(0, CAST(doc_id % 5 AS INT)), i -> "
+    "CASE WHEN i % 2 = 0 THEN named_struct("
+    "'kind', 'text', 'text', substring(text, i * 7 + 1, 7), "
+    "'media_ref', CAST(NULL AS STRING), 'offset', i) "
+    "ELSE named_struct("
+    "'kind', 'media', 'text', CAST(NULL AS STRING), "
+    "'media_ref', concat('/m', CAST(doc_id AS STRING), '_', CAST(i AS STRING)), "
+    "'offset', i) END)"
+)
+
+
+def q_span_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    doc = d.select("doc_id", F.expr(_SPAN_SYNTH).alias("spans"))
+    return doc.select(
+        "doc_id",
+        F.expr("size(spans)").alias("n_spans"),
+        F.expr("size(filter(spans, s -> s.kind = 'media'))").alias("n_media"),
+        F.expr(
+            "aggregate(filter(spans, s -> s.kind = 'text'), 0L, "
+            "(acc, s) -> acc + length(s.text))"
+        ).alias("text_chars"),
+        F.expr(
+            "coalesce(array_min(transform(filter(spans, s -> s.kind = 'media'), "
+            "s -> s.offset)), -1)"
+        ).alias("first_media_offset"),
+        F.md5(
+            F.expr("array_join(transform(filter(spans, s -> s.kind = 'text'), s -> s.text), '')")
+        ).alias("text_hash"),
+    ).orderBy("doc_id")
+
+
+ORACLE_SPAN_STATS = """
+    WITH s AS (
+      SELECT d.doc_id, g.i,
+             CASE WHEN g.i % 2 = 0 THEN substr(d.text, CAST(g.i * 7 + 1 AS INT), 7)
+             END AS tpart
+      FROM documents d,
+           LATERAL unnest(generate_series(0, d.doc_id % 5)) AS g(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_spans,
+           CAST(sum(CASE WHEN i % 2 = 1 THEN 1 ELSE 0 END) AS INT) AS n_media,
+           CAST(coalesce(sum(strlen(tpart)), 0) AS BIGINT) AS text_chars,
+           CAST(coalesce(min(CASE WHEN i % 2 = 1 THEN i END), -1) AS INT)
+             AS first_media_offset,
+           md5(coalesce(string_agg(tpart, '' ORDER BY i), '')) AS text_hash
+    FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["span_stats"] = q_span_stats
+ORACLES["span_stats"] = ORACLE_SPAN_STATS

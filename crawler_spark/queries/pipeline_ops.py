@@ -1658,3 +1658,96 @@ ORACLE_EMBEDDING_CENTROIDS = f"""
 
 QUERIES["embedding_centroids"] = q_embedding_centroids
 ORACLES["embedding_centroids"] = ORACLE_EMBEDDING_CENTROIDS
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via PPJoin-style prefix filtering — the
+# LOSSLESS counterpart to the LSH/banded candidate generators above.
+# Theorem (prefix filter): order every doc's shingles by one GLOBAL
+# total order (here rarest-first: (df, shingle)); if Jaccard(A,B) >= t
+# then A and B must share at least one shingle inside their first
+# |S| - ceil(t*|S|) + 1 shingles. For t = 1/2 the prefix length is
+# exactly |S| div 2 + 1 (integers — no float threshold anywhere).
+# Candidates additionally pass the length filter 2*min(|A|,|B|) >=
+# max(|A|,|B|) (J <= min/max). Exact Jaccard is then computed ONLY on
+# candidates, so the output equals the brute-force all-pairs answer —
+# the DuckDB oracle IS brute force, which proves losslessness, not just
+# agreement.
+#
+# Scale shape: two partition windows on the exploded table (df by
+# shingle, size+position by doc — one shuffle each), a self-equi-join
+# restricted to prefix rows (rarest-first ordering makes prefix join
+# groups the SMALLEST ones), then the candidate-keyed intersection join
+# of dedup_minhash_verify. Never all-pairs; no LSH recall loss.
+# ---------------------------------------------------------------------------
+
+
+def q_setsim_ppjoin(spark, sf_dir):
+    sh = _doc_shingles(spark, sf_dir)
+    ex0 = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    # shingles are distinct per doc => count(*) over sh = document freq
+    ex = (
+        ex0.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh")),
+        )
+        .localCheckpoint()  # feeds prefix join AND both verify sides
+    )
+    pre = ex.where(F.col("pos") <= F.expr("n_sh div 2 + 1"))
+    cand = (
+        pre.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "sh")
+        .join(
+            pre.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "sh"),
+            "sh",
+        )
+        .where(F.col("a") < F.col("b"))
+        .where(F.lit(2) * F.least("na", "nb") >= F.greatest("na", "nb"))
+        .select("a", "b")
+        .distinct()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.max("n_sh").alias("n_sh"))
+    inter = (
+        cand.join(ex.select(F.col("doc_id").alias("a"), "sh"), "a")
+        .join(ex.select(F.col("doc_id").alias("b"), "sh"), ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn(
+            "jaccard_micro",
+            F.floor(
+                F.lit(1000000) * F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).cast("long"),
+        )
+    )
+    return jac.where(F.col("jaccard_micro") >= 500000).select(
+        "a", "b", "jaccard_micro"
+    ).orderBy("a", "b")
+
+
+ORACLE_SETSIM_PPJOIN = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM ({_DOC_SHINGLES_SQL})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.a, i.b,
+           CAST(floor(1000000.0 * i.n_inter / (za.n_sh + zb.n_sh - i.n_inter))
+                AS BIGINT) AS jaccard_micro
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE floor(1000000.0 * i.n_inter / (za.n_sh + zb.n_sh - i.n_inter)) >= 500000
+    ORDER BY a, b
+"""
+
+QUERIES["setsim_ppjoin"] = q_setsim_ppjoin
+ORACLES["setsim_ppjoin"] = ORACLE_SETSIM_PPJOIN

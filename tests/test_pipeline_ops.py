@@ -416,3 +416,54 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.approx_count_distinct("doc_id", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= max(3, 0.06 * row["exact"])
+
+
+def test_setsim_ppjoin_is_lossless_vs_brute_force(spark):
+    """PPJoin prefix filtering must equal the ALL-PAIRS answer exactly —
+    that is its whole claim vs the LSH generators. Brute force here is an
+    independent pure-Python pass over the raw parquet."""
+    import re
+
+    import duckdb
+
+    from crawler_spark.queries.pipeline_ops import q_setsim_ppjoin
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    sets = {}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"\s+", text) if t]
+        if len(toks) < 3:
+            continue
+        sets[doc_id] = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    ids = sorted(sets)
+    expected = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            jac = (1000000 * inter) // union
+            if jac >= 500000:
+                expected.append((a, b, jac))
+    got = [tuple(r) for r in q_setsim_ppjoin(spark, SF).collect()]
+    assert got == sorted(expected)
+    assert len(expected) > 0  # the corpus exercises the join
+
+
+def test_span_stats_is_shuffle_free(spark):
+    """The interleaved-span analytics must stay row-local: no hash
+    exchange anywhere in the plan (the only exchange allowed is the
+    final presentation sort's range partitioning)."""
+    from crawler_spark.queries.crawl_ops import q_span_stats
+
+    df = q_span_stats(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    rows = df.collect()
+    assert len(rows) == 500
+    # closed-form spot checks: doc k has k%5+1 spans, media at odd offsets
+    for r in rows[:25]:
+        assert r.n_spans == r.doc_id % 5 + 1
+        assert r.n_media == r.n_spans // 2
+        assert r.first_media_offset == (1 if r.n_spans >= 2 else -1)
