@@ -601,3 +601,136 @@ ORACLES = {
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "top_ngrams": ORACLE_TOP_NGRAMS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Re-crawl scheduling (the freshness policy a production crawler runs on
+# top of snapshot deltas): three epochs of content hashes are diffed
+# pairwise per document, the change count drives an exponential backoff —
+# frequently-changing docs re-fetch every round, static docs back off to
+# 2^3 rounds. Epoch hashes are synthesized deterministically from the
+# corpus (epoch e changes every doc with doc_id % (e + 2) == 0, expressed
+# through the HASH comparison, not the rule) so the oracle runs on the
+# same input. Entirely row-local (zero shuffle): the per-doc policy is a
+# projection, exactly what it must be at 10^10 URLs.
+# ---------------------------------------------------------------------------
+
+RECRAWL_EPOCHS = 3
+
+
+def _epoch_hash(e: int):
+    # epoch 0 = the base text; epoch e >= 1 appends a change marker for
+    # the docs that changed in that epoch
+    if e == 0:
+        return F.md5(F.col("text"))
+    return F.md5(
+        F.when(
+            F.col("doc_id") % (e + 2) == 0,
+            F.concat(F.col("text"), F.lit(f" [epoch{e}]")),
+        ).otherwise(F.col("text"))
+    )
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", *[_epoch_hash(e).alias(f"h{e}") for e in range(RECRAWL_EPOCHS + 1)]
+    )
+    changes = sum(
+        F.when(F.col(f"h{e}") != F.col(f"h{e + 1}"), 1).otherwise(0)
+        for e in range(RECRAWL_EPOCHS)
+    )
+    out = hashed.select(
+        "doc_id", changes.cast("int").alias("n_changes")
+    ).withColumn(
+        "interval_rounds",
+        F.expr(f"CAST(shiftleft(1, {RECRAWL_EPOCHS} - n_changes) AS INT)"),
+    )
+    return out.orderBy("doc_id")
+
+
+def _epoch_hash_sql(e: int) -> str:
+    if e == 0:
+        return "md5(text)"
+    return (
+        f"md5(CASE WHEN doc_id % {e + 2} = 0 "
+        f"THEN text || ' [epoch{e}]' ELSE text END)"
+    )
+
+
+ORACLE_RECRAWL_SCHEDULE = f"""
+    WITH h AS (
+      SELECT doc_id,
+             {", ".join(f"{_epoch_hash_sql(e)} AS h{e}" for e in range(RECRAWL_EPOCHS + 1))}
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             ({" + ".join(f"CASE WHEN h{e} != h{e + 1} THEN 1 ELSE 0 END" for e in range(RECRAWL_EPOCHS))})
+               AS n_changes
+      FROM h
+    )
+    SELECT doc_id, CAST(n_changes AS INT) AS n_changes,
+           CAST(1 << ({RECRAWL_EPOCHS} - n_changes) AS INT) AS interval_rounds
+    FROM c ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-link detection over the synthetic graph — mutual links are
+# the classic link-spam / link-exchange signal. ONE equi-join of the
+# edge table against its own reversal on the composite key (src, dst),
+# canonicalized src < dst so each mutual pair reports once.
+# ---------------------------------------------------------------------------
+
+
+def q_reciprocal_links(spark, sf_dir):
+    _, _, edges = _synth_link_graph(spark, sf_dir)
+    # the multiplicative graph is near-mutual-free, so every 9th source's
+    # links gain a deterministic back-link — planted link exchanges the
+    # detector must find (plus any natural mutuals)
+    planted = edges.where(F.col("src") % 9 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    e = edges.select("src", "dst").unionByName(planted).distinct().localCheckpoint()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        e.join(rev, ["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .orderBy("a", "b")
+    )
+
+
+ORACLE_RECIPROCAL_LINKS = """
+    WITH nodes AS (SELECT doc_id FROM documents),
+    scal AS (SELECT max(doc_id) + 1 AS m FROM nodes),
+    raw_edges AS (
+      SELECT n.doc_id AS src,
+             (n.doc_id * 31 + j.j) % s.m AS dst
+      FROM nodes n
+      CROSS JOIN scal s
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(1, 2 + CAST(n.doc_id % 3 AS INT))) AS j
+      ) j
+    ),
+    kept AS (
+      SELECT e.src, e.dst
+      FROM raw_edges e JOIN nodes t ON t.doc_id = e.dst
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM kept
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM kept WHERE src % 9 = 0
+      )
+    )
+    SELECT e.src AS a, e.dst AS b
+    FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    WHERE e.src < e.dst ORDER BY a, b
+"""
+
+QUERIES["recrawl_schedule"] = q_recrawl_schedule
+ORACLES["recrawl_schedule"] = ORACLE_RECRAWL_SCHEDULE
+QUERIES["reciprocal_links"] = q_reciprocal_links
+ORACLES["reciprocal_links"] = ORACLE_RECIPROCAL_LINKS

@@ -452,3 +452,63 @@ ORACLES = {
     "length_quantiles": ORACLE_LENGTH_QUANTILES,
     "normalize_dedup": ORACLE_NORMALIZE_DEDUP,
 }
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source resampling — the training-mix rebalancer:
+# big sources are DOWN-weighted toward sqrt scale (alpha = 1/2 mixing,
+# the multilingual-LM standard for flattening a skewed source mix), by
+# keeping per source only the SAMPLE_MULT * floor(sqrt(n_source))
+# lowest-md5-rank documents. Deterministic: the kept set is a pure
+# function of (doc_id, source) — re-runs and engines agree bit-for-bit.
+# sqrt of an exact integer is correctly rounded in IEEE on both engines
+# (exact for perfect squares), so the floor can't straddle engines.
+#
+# Scale shape: two functions over ONE window shuffle on source (count +
+# md5 rank share the partitioning); at the store the source is a
+# partition key, so the shuffle is partition-local. Never a sampling
+# job, never a driver-side count.
+# ---------------------------------------------------------------------------
+
+SAMPLE_MULT = 4
+
+
+def q_source_temperature_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    r = d.select(
+        "doc_id",
+        "source",
+        F.count(F.lit(1)).over(w).alias("n_source"),
+        F.row_number().over(
+            w.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        ).alias("rk"),
+    ).withColumn(
+        "target_n",
+        (F.lit(SAMPLE_MULT) * F.floor(F.sqrt(F.col("n_source")))).cast("long"),
+    )
+    return (
+        r.where(F.col("rk") <= F.col("target_n"))
+        .select("doc_id", "source", "n_source", "target_n")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SOURCE_TEMPERATURE_SAMPLE = f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             count(*) OVER (PARTITION BY source) AS n_source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_source AS BIGINT) AS n_source,
+           CAST({SAMPLE_MULT} * floor(sqrt(n_source)) AS BIGINT) AS target_n
+    FROM r
+    WHERE rk <= {SAMPLE_MULT} * floor(sqrt(n_source))
+    ORDER BY doc_id
+"""
+
+QUERIES["source_temperature_sample"] = q_source_temperature_sample
+ORACLES["source_temperature_sample"] = ORACLE_SOURCE_TEMPERATURE_SAMPLE

@@ -1751,3 +1751,64 @@ ORACLE_SETSIM_PPJOIN = f"""
 
 QUERIES["setsim_ppjoin"] = q_setsim_ppjoin
 ORACLES["setsim_ppjoin"] = ORACLE_SETSIM_PPJOIN
+
+
+# ---------------------------------------------------------------------------
+# Keep-best representative selection — the final stage of the dedup
+# pipeline: after pair generation (LSH+verify) and connected components,
+# each near-dup cluster keeps its HIGHEST-QUALITY member (token count
+# here; ties broken by min doc id), not the arbitrary min-id canonical.
+# This is the decision a production corpus dedup actually ships.
+#
+# Scale shape: components output is O(near-dup docs) — tiny next to the
+# corpus — so the quality join and the per-component argmax window both
+# run on the reduced table; the window partitions by component (bounded
+# groups), never a global sort.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    comp = q_dedup_components(spark, sf_dir).select("node", "component")
+    nw = _docs_tokens(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), F.size("tokens").alias("n_words")
+    )
+    j = comp.join(nw, "node")
+    w = Window.partitionBy("component")
+    ranked = j.withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.desc("n_words"), "node")),
+    ).withColumn("n_members", F.count(F.lit(1)).over(w))
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("kept_doc"),
+            F.col("n_words").alias("kept_n_words"),
+            "n_members",
+        )
+        .orderBy("component")
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = f"""
+    WITH comp AS (
+      SELECT node, component FROM ({ORACLE_DEDUP_COMPONENTS})
+    ),
+    nw AS (
+      SELECT doc_id AS node, CAST(len(tokens) AS INT) AS n_words
+      FROM ({_TOKENS_SQL})
+    ),
+    ranked AS (
+      SELECT component, node, n_words,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_words DESC, node) AS rn,
+             count(*) OVER (PARTITION BY component) AS n_members
+      FROM comp JOIN nw USING (node)
+    )
+    SELECT component, node AS kept_doc, kept.n_words AS kept_n_words,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked kept WHERE rn = 1 ORDER BY component
+"""
+
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
+ORACLES["dedup_keep_best"] = ORACLE_DEDUP_KEEP_BEST

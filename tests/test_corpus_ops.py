@@ -278,3 +278,72 @@ def test_embedding_centroids_exact_integer_sums(spark):
         expected.append((label, dim, n, s, q if s >= 0 else -q))
     got = [tuple(r) for r in q_embedding_centroids(spark, SF).collect()]
     assert got == expected
+
+
+def test_recrawl_schedule_matches_pure_python_hash_diff(spark):
+    """Recompute the epoch hashes with hashlib and diff — pins both the
+    transition-count semantics (a revert IS a change) and the backoff."""
+    from crawler_spark.queries.corpus_ops import RECRAWL_EPOCHS, q_recrawl_schedule
+
+    expected = []
+    for doc_id, text in _docs():
+        hs = [hashlib.md5(text.encode()).hexdigest()]
+        for e in range(1, RECRAWL_EPOCHS + 1):
+            body = text + f" [epoch{e}]" if doc_id % (e + 2) == 0 else text
+            hs.append(hashlib.md5(body.encode()).hexdigest())
+        n_changes = sum(1 for i in range(RECRAWL_EPOCHS) if hs[i] != hs[i + 1])
+        expected.append((doc_id, n_changes, 1 << (RECRAWL_EPOCHS - n_changes)))
+    got = [tuple(r) for r in q_recrawl_schedule(spark, SF).collect()]
+    assert got == expected
+    assert {r[1] for r in expected} != {0}  # changes actually occur
+
+
+def test_reciprocal_links_matches_pure_python(spark):
+    from crawler_spark.queries.corpus_ops import q_reciprocal_links
+
+    ids = [r[0] for r in _docs()]
+    id_set = set(ids)
+    m = max(ids) + 1
+    edges = set()
+    for v in ids:
+        for j in range(1, 2 + v % 3):
+            t = (v * 31 + j) % m
+            if t in id_set:
+                edges.add((v, t))
+    planted = {(d, s) for (s, d) in edges if s % 9 == 0}
+    all_edges = edges | planted
+    expected = sorted(
+        (a, b) for (a, b) in all_edges if a < b and (b, a) in all_edges
+    )
+    got = [tuple(r) for r in q_reciprocal_links(spark, SF).collect()]
+    assert got == expected
+    assert len(expected) > 0
+
+
+def test_dedup_keep_best_picks_max_quality_member(spark):
+    """The kept doc must be the (n_words desc, doc_id asc) argmax of its
+    component, with the member count right — checked against the
+    components query plus raw token counts."""
+    from crawler_spark.queries.pipeline_ops import (
+        q_dedup_components,
+        q_dedup_keep_best,
+    )
+
+    comp = {
+        r.node: r.component for r in q_dedup_components(spark, SF).collect()
+    }
+    n_words = {doc_id: len(_tokens(text)) for doc_id, text in _docs()}
+    by_comp = {}
+    for node, c in comp.items():
+        by_comp.setdefault(c, []).append(node)
+    expected = sorted(
+        (
+            c,
+            min(members, key=lambda n: (-n_words[n], n)),
+            n_words[min(members, key=lambda n: (-n_words[n], n))],
+            len(members),
+        )
+        for c, members in by_comp.items()
+    )
+    got = [tuple(r) for r in q_dedup_keep_best(spark, SF).collect()]
+    assert got == expected

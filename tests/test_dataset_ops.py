@@ -189,3 +189,36 @@ def test_pii_scrub_counts_and_redacts(spark):
     got = {r["doc_id"]: (r["n_emails"], r["scrubbed_md5"]) for r in rows}
     assert got == expect
     assert any(n >= 2 for n, _h in got.values())
+
+
+def test_source_temperature_sample_counts_and_determinism(spark):
+    """Per-source kept count must be min(n_source, 4*floor(sqrt(n))),
+    and the kept set must be the lowest-md5-rank docs of each source."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from crawler_spark.queries.dataset_ops import (
+        SAMPLE_MULT,
+        q_source_temperature_sample,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    by_src = {}
+    for doc_id, src in rows:
+        by_src.setdefault(src, []).append(doc_id)
+    expected = []
+    for src, ids in by_src.items():
+        n = len(ids)
+        target = SAMPLE_MULT * math.floor(math.sqrt(n))
+        ranked = sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        for d in ranked[:target]:
+            expected.append((d, src, n, target))
+    expected.sort()
+    got = [tuple(r) for r in q_source_temperature_sample(spark, SF).collect()]
+    assert got == expected
+    # the big sources are actually downsampled (temperature < 1)
+    assert any(len(ids) > SAMPLE_MULT * math.floor(math.sqrt(len(ids))) for ids in by_src.values())
