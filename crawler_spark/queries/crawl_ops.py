@@ -966,7 +966,7 @@ ORACLE_SPAN_STATS = """
     SELECT doc_id,
            CAST(count(*) AS INT) AS n_spans,
            CAST(sum(CASE WHEN i % 2 = 1 THEN 1 ELSE 0 END) AS INT) AS n_media,
-           CAST(coalesce(sum(strlen(tpart)), 0) AS BIGINT) AS text_chars,
+           CAST(coalesce(sum(length(tpart)), 0) AS BIGINT) AS text_chars,
            CAST(coalesce(min(CASE WHEN i % 2 = 1 THEN i END), -1) AS INT)
              AS first_media_offset,
            md5(coalesce(string_agg(tpart, '' ORDER BY i), '')) AS text_hash

@@ -1704,25 +1704,23 @@ def q_setsim_ppjoin(spark, sf_dir):
         )
         .where(F.col("a") < F.col("b"))
         .where(F.lit(2) * F.least("na", "nb") >= F.greatest("na", "nb"))
-        .select("a", "b")
+        # na/nb are functionally dependent on a/b — carrying them through
+        # the distinct costs nothing and saves a sizes re-aggregate plus
+        # two join stages downstream
+        .select("a", "b", "na", "nb")
         .distinct()
     )
-    sizes = ex.groupBy("doc_id").agg(F.max("n_sh").alias("n_sh"))
     inter = (
         cand.join(ex.select(F.col("doc_id").alias("a"), "sh"), "a")
         .join(ex.select(F.col("doc_id").alias("b"), "sh"), ["b", "sh"])
-        .groupBy("a", "b")
+        .groupBy("a", "b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    jac = (
-        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
-        .withColumn(
-            "jaccard_micro",
-            F.floor(
-                F.lit(1000000) * F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-            ).cast("long"),
-        )
+    jac = inter.withColumn(
+        "jaccard_micro",
+        F.floor(
+            F.lit(1000000) * F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+        ).cast("long"),
     )
     return jac.where(F.col("jaccard_micro") >= 500000).select(
         "a", "b", "jaccard_micro"

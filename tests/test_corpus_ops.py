@@ -235,7 +235,7 @@ def test_passage_dedup_matches_pure_python(spark):
     got = [tuple(r) for r in q_passage_dedup(spark, SF).collect()]
     assert got == expected
     assert sum(r[2] for r in expected) > 0  # drop path exercised
-    assert any(r[2] == 0 for r in expected) or len(expected) > 0
+    assert any(r[2] == 0 for r in expected)  # keep-everything path too
 
 
 def test_top_ngrams_matches_pure_python_counter(spark):
