@@ -1810,3 +1810,55 @@ ORACLE_DEDUP_KEEP_BEST = f"""
 
 QUERIES["dedup_keep_best"] = q_dedup_keep_best
 ORACLES["dedup_keep_best"] = ORACLE_DEDUP_KEEP_BEST
+
+
+# ---------------------------------------------------------------------------
+# Windowed event dedup — keep the FIRST event per (user, event_type,
+# hour window): the batch twin of a streaming dropDuplicates-within-
+# watermark stage (the dedup key's window bound is what lets streaming
+# state evict — identical semantics here, computed exactly). ONE window
+# shuffle on the composite key; first = (ts, event_id) argmin so ties
+# are deterministic. Emits survivors plus the duplicate count they
+# absorbed (lineage, same discipline as corpus_pipeline).
+# ---------------------------------------------------------------------------
+
+
+def q_event_dedup_windowed(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.date_trunc("hour", F.col("ts")).alias("win"),
+    )
+    w = Window.partitionBy("user_id", "event_type", "win")
+    r = e.withColumn(
+        "rn", F.row_number().over(w.orderBy("ts", "event_id"))
+    ).withColumn("n_dups", F.count(F.lit(1)).over(w) - F.lit(1))
+    return (
+        r.where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type",
+                F.col("win").alias("window_start"), "n_dups")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_EVENT_DEDUP_WINDOWED = """
+    WITH r AS (
+      SELECT event_id, user_id, event_type,
+             date_trunc('hour', ts) AS window_start,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn,
+             count(*) OVER (
+               PARTITION BY user_id, event_type, date_trunc('hour', ts)
+             ) - 1 AS n_dups
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, window_start,
+           CAST(n_dups AS BIGINT) AS n_dups
+    FROM r WHERE rn = 1 ORDER BY event_id
+"""
+
+QUERIES["event_dedup_windowed"] = q_event_dedup_windowed
+ORACLES["event_dedup_windowed"] = ORACLE_EVENT_DEDUP_WINDOWED

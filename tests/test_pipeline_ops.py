@@ -467,3 +467,25 @@ def test_span_stats_is_shuffle_free(spark):
         assert r.n_spans == r.doc_id % 5 + 1
         assert r.n_media == r.n_spans // 2
         assert r.first_media_offset == (1 if r.n_spans >= 2 else -1)
+
+
+def test_event_dedup_windowed_matches_pure_python(spark):
+    import duckdb
+
+    from crawler_spark.queries.pipeline_ops import q_event_dedup_windowed
+
+    rows = duckdb.sql(
+        f"SELECT event_id, user_id, event_type, ts FROM '{SF}/events.parquet'"
+    ).fetchall()
+    groups = {}
+    for eid, uid, etype, ts in rows:
+        win = ts.replace(minute=0, second=0, microsecond=0)
+        groups.setdefault((uid, etype, win), []).append((ts, eid))
+    expected = []
+    for (uid, etype, win), members in groups.items():
+        members.sort()
+        expected.append((members[0][1], uid, etype, win, len(members) - 1))
+    expected.sort()
+    got = [tuple(r) for r in q_event_dedup_windowed(spark, SF).collect()]
+    assert got == expected
+    assert any(r[4] > 0 for r in expected)  # duplicates actually absorbed
