@@ -121,3 +121,43 @@ def run_streaming_window(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Exactly-once event admission by event_id — the streaming twin of
+    the batch `event_dedup_windowed` discipline. On a stream this is
+    dropDuplicatesWithinWatermark: the dedup key's state is EVICTED once
+    the watermark passes the event's ts + delay, which is the only way
+    per-key dedup state stays bounded on an unbounded stream (the same
+    window-bound trade the batch query's (user, type, hour) key encodes).
+    On a batch frame it degrades to plain dropDuplicates — the oracle."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+):
+    """availableNow drain of `input_dir` through the watermarked dedup
+    into an in-memory sink (one file per micro-batch so the watermark
+    advances between files and state eviction is observable)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    deduped = dedup_events(stream, watermark)
+    return (
+        deduped.writeStream.format("memory")
+        .queryName("deduped_events")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

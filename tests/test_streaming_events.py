@@ -154,3 +154,54 @@ def test_watermarked_streaming_sessions(spark, tmp_path):
     assert got[(1, BASE + dt.timedelta(minutes=120), BASE + dt.timedelta(minutes=155))] == 2
     # u3's 700-min session is still open (watermark never passed its end)
     assert (3, BASE + dt.timedelta(minutes=700), BASE + dt.timedelta(minutes=730)) not in got
+
+
+def test_watermarked_streaming_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics pinned: duplicates inside
+    the watermark are dropped across micro-batches; once the watermark
+    passes a key's eviction point its state is GONE, so a very-late
+    replay of the same event_id is re-admitted — the bounded-state trade
+    the batch dropDuplicates oracle never makes."""
+    from crawler_spark.streaming.events import dedup_events, run_streaming_dedup
+
+    in_dir, ckpt = str(tmp_path / "ev"), str(tmp_path / "ck")
+
+    first = _ev(1, 5, "click", 1.0)
+    peer = _ev(2, 6, "view", 2.0)
+    dup_in_batch = dict(first)               # same event_id, same micro-batch
+    dup_next_batch = dict(first)             # same event_id, next micro-batch
+    closer = _ev(3, 300, "click", 0.5)       # pushes watermark far past id=1
+    spacer = _ev(4, 310, "view", 0.1)        # state eviction uses the watermark
+    # computed from data through the PREVIOUS batch, so one more batch must
+    # pass before id=1's entry (expiry 15 min << 290/300) is actually gone
+    # id=1 again with a FRESH in-watermark ts: its dedup state was evicted,
+    # so it is re-admitted — a same-key event with a STALE ts would instead
+    # be dropped as late data by the watermark operator itself (both are
+    # bounded-state trades the batch twin never makes)
+    replay_after_evict = _ev(1, 295, "click", 1.0)
+    stale_replay = dict(first)               # id=1, ts=5min << watermark: late-dropped
+
+    _write(in_dir, "f1.parquet", [first, peer, dup_in_batch], 0)
+    _write(in_dir, "f2.parquet", [dup_next_batch], 1)
+    _write(in_dir, "f3.parquet", [closer], 2)
+    _write(in_dir, "f4.parquet", [spacer], 3)
+    _write(in_dir, "f5.parquet", [replay_after_evict, stale_replay], 4)
+
+    q = run_streaming_dedup(spark, in_dir, ckpt, watermark="10 minutes")
+    q.awaitTermination(180)
+
+    got = [
+        (r["event_id"], r["event_type"])
+        for r in spark.sql("SELECT * FROM deduped_events ORDER BY ts, event_id").collect()
+    ]
+    # in-watermark duplicates (same batch AND next batch) deduped; the
+    # stale replay late-dropped; the fresh-ts post-eviction replay re-admitted
+    assert got == [(1, "click"), (2, "view"), (1, "click"), (3, "click"), (4, "view")]
+
+    # batch twin on the same rows: exact dedup — no eviction, no re-admit
+    rows = [first, peer, dup_in_batch, dup_next_batch, closer, spacer,
+            replay_after_evict, stale_replay]
+    batch = spark.createDataFrame([tuple(r.values()) for r in rows], schema=_SCHEMA.names)
+    batch = batch.withColumn("ts", batch["ts"].cast("timestamp"))
+    ids = sorted(r["event_id"] for r in dedup_events(batch).collect())
+    assert ids == [1, 2, 3, 4]
