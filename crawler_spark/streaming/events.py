@@ -19,7 +19,7 @@ that an in-watermark straggler DOES update its window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
@@ -130,12 +130,20 @@ def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     the watermark passes the event's ts + delay, which is the only way
     per-key dedup state stays bounded on an unbounded stream (the same
     window-bound trade the batch query's (user, type, hour) key encodes).
-    On a batch frame it degrades to plain dropDuplicates — the oracle."""
+    On a batch frame it keeps the FIRST row per event_id (min ts, value
+    as tiebreak) — deterministic, and the same survivor the streaming
+    path admits (first arrival), so the batch oracle cannot diverge from
+    the stream when duplicate event_ids carry different payloads."""
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
             ["event_id"]
         )
-    return events.dropDuplicates(["event_id"])
+    w = Window.partitionBy("event_id").orderBy("ts", "value")
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def run_streaming_dedup(
