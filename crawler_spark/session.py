@@ -51,6 +51,10 @@ def build_session(
         # once admission checkpoints its bloom-flagged stream per round
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # no stage-progress bars on stderr: the bench's machine-readable
+        # stdout tail must never be buried under console-progress noise
+        # (the round-3 driver artifact captured only progress bars)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # FAIR task scheduling: the round plan submits jobs from several
         # driver threads (stager writes, broadcast-exchange builds, the
