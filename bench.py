@@ -383,7 +383,6 @@ def main():
         line = _line()
         for trim in (
             lambda: compact["crawl_scaling"].pop("attempt_efficiencies", None),
-            lambda: compact.pop("skipped_stages", None),
             lambda: compact.update(
                 queries={k: round(v, 1) for k, v in compact["queries"].items()}
             ),
@@ -450,6 +449,7 @@ def main():
         except Exception as e:  # noqa: BLE001 — a timed-out leg must not
             # kill the run; whatever was measured is already emitted
             st["skipped"].append(f"pair_leg:{type(e).__name__}")
+            st["stage"] = f"pair_leg_failed:{type(e).__name__}"
             st["partial_low"] = None
             emit()
             return False

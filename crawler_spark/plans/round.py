@@ -164,10 +164,12 @@ def schedule(pending: DataFrame, ctx: RoundContext, max_seq: int | None = None) 
     # bucketing — no range-sampling job, no second checkpoint
     if timing:
         # fetch order = departure order; eta domain is data-dependent, so
-        # timing mode keeps the range-sampling ranker
+        # timing mode keeps the range-sampling ranker. eta_ms rides along
+        # into the scheduled table (departure_ms) so politeness honoring
+        # is auditable from the crawl log itself.
         return global_rank(
             admitted, ["eta_ms", "priority", "seq"], "rank", materialize_input=True
-        ).drop("eta_ms")
+        )
     bucket = (
         rank_bucket(F.col("seq"), max_seq, major=F.col("priority"))
         if max_seq else None
@@ -701,9 +703,12 @@ def run_round(
     # round's uncommitted stage dir.
     pending = pending_frontier(frontier, scheduled, watermarks)
     ctx.spark.sparkContext.setJobDescription("phase:schedule")
-    scheduled_append = schedule(pending, ctx, max_seq=next_seq).select(
+    scheduled_batch = schedule(pending, ctx, max_seq=next_seq)
+    scheduled_append = scheduled_batch.select(
         "seq", "url_hash", "url", F.lit(round_).alias("round"), "rank",
         F.col("priority").cast("int").alias("priority"), "host",
+        (F.col("eta_ms") if "eta_ms" in scheduled_batch.columns
+         else F.lit(None)).cast("long").alias("departure_ms"),
     )
     admitted = _mat("scheduled", scheduled_append)
     batch_size = stager.staged_count("scheduled")

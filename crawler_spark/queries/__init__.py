@@ -38,6 +38,8 @@ _FRONT = (
     "normalize_dedup", "source_temperature_sample",
     # driver-red in r03 (oracle HUGEINT vs bigint — CAST fixed):
     "embedding_centroids",
+    # new in round 4 (real pure-stdlib PNG decode round-trip):
+    "media_decode_png",
     # engine/oracle touched in round 4 (subtree sharing, integer
     # floor-div, simhash hot-path rewrite):
     "dedup_minhash_lsh", "dedup_minhash_verify", "dedup_components",

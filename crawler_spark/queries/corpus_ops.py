@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from crawler_spark.queries.pipeline_ops import (
     _DOC_SHINGLES_SQL,
     _TOKENS_SQL,
-    _doc_shingles,
     _docs_tokens,
     _t,
 )
@@ -118,18 +117,22 @@ def _split_nibble():
 
 
 def q_decontaminate(spark, sf_dir):
-    sh = _doc_shingles(spark, sf_dir)
+    # reuse the session-memoized exploded (doc_id, sh) table the minhash
+    # family materializes — decontamination filters two slices of the
+    # SAME exploded relation, so rebuilding the tokenize→shingle→explode
+    # subtree here paid the corpus scan twice for nothing (12.5 s → the
+    # shared stage at sf0.1). Cluster analogue: both consumers read one
+    # persisted stage.
+    from crawler_spark.queries.pipeline_ops import _minhash_exploded
+
+    ex = _minhash_exploded(spark, sf_dir)
     nib = _split_nibble()
-    bench = (
-        sh.where(nib.isin(_TEST_NIBBLES))
-        .select(F.explode("shingles").alias("sh"))
-        .distinct()
-    )
-    train_ex = sh.where(
+    bench = ex.where(nib.isin(_TEST_NIBBLES)).select("sh").distinct()
+    train_ex = ex.where(
         F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1).isin(
             list("0123456789ab")
         )
-    ).select("doc_id", F.explode("shingles").alias("sh"))
+    ).select("doc_id", "sh")
     hits = (
         train_ex.join(bench, "sh")
         .groupBy("doc_id")

@@ -237,8 +237,18 @@ _FETCH_LOG_SQL = """
 """
 
 
-def q_politeness_audit(spark, sf_dir):
-    log = _fetch_log(spark, sf_dir)
+def audit_politeness_log(log):
+    """Per-host crawl-delay honor check over a fetch log of
+    (host, departure_ms, crawl_delay_ms) rows: inter-fetch gaps via one
+    window, violations = gaps shorter than the host's crawl delay.
+
+    Shared by the driver query (synthetic log below) and the
+    closed-loop test that audits a REAL `scheduler_mode='timing'`
+    crawl's scheduled table (tests/test_plans_units.py) — the scheduler
+    that PRODUCES departure times and the auditor that CHECKS them are
+    independent code paths, so a green audit is evidence, not tautology.
+    Scale shape: one hash-partitioned window + one groupBy on the same
+    key — a single shuffle, no driver collection."""
     w = Window.partitionBy("host").orderBy("departure_ms")
     gaps = log.withColumn("gap_ms", F.col("departure_ms") - F.lag("departure_ms").over(w))
     return (
@@ -253,6 +263,10 @@ def q_politeness_audit(spark, sf_dir):
         .select("host", "crawl_delay_ms", "n_fetches", "n_violations", "min_gap_ms")
         .orderBy("host")
     )
+
+
+def q_politeness_audit(spark, sf_dir):
+    return audit_politeness_log(_fetch_log(spark, sf_dir))
 
 
 ORACLE_POLITENESS_AUDIT = f"""

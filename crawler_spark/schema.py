@@ -137,6 +137,11 @@ SCHEDULED = StructType(
         # seq derives from (host, seq) group-maxes over this table, so the
         # crawl log carries the host it charged the fetch to
         StructField("host", StringType(), True),
+        # virtual departure timestamp within the round window (timing
+        # scheduler mode only; NULL under budget mode) — persisting it
+        # makes the politeness honor-check auditable from the crawl log
+        # itself instead of a synthetic fetch log
+        StructField("departure_ms", LongType(), True),
     ]
 )
 

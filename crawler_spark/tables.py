@@ -13,6 +13,26 @@ This replaces the reference's STM containers (src/Types.hs:24-38) as the
 engine's durable state, and gives the north_rule's "resumable from
 checkpoint with per-partition lineage": each version manifest records the
 round that produced it and the data directories (lineage) it references.
+
+Real-Iceberg drop-in path (attempted round 4; blocked — the container has
+no iceberg-spark-runtime jar and no network: resolving
+org.apache.iceberg:iceberg-spark-runtime-3.5_2.13 via Maven fails with
+DNS errors, verified against repo1.maven.org). On a cluster with the jar:
+
+    spark.sql.extensions = org.apache.iceberg.spark.extensions
+                            .IcebergSparkSessionExtensions
+    spark.sql.catalog.crawl = org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.crawl.type = hadoop   # or rest/hive
+    spark.sql.catalog.crawl.warehouse = <state root>
+
+then implement the 6-method table protocol (append/overwrite/read/
+current_version/rollback_to/read_version) over `crawl.<ns>.<table>` using
+`df.writeTo(...).append()` and `CALL crawl.system.rollback_to_snapshot`,
+and pass it as `Catalog(table_factory=...)`. The contract suite
+(tests/test_table_contract.py) runs every invariant — snapshot isolation,
+atomic commit, orphan rollback, resume — against any factory, and already
+passes on two independent implementations, so the adapter lands
+test-guided with zero call-site changes.
 """
 
 from __future__ import annotations

@@ -312,14 +312,57 @@ def test_embedding_neardup_group_cap(spark):
 
 def test_media_capability_report():
     """The media stack must declare honestly whether decoding is real —
-    a green media_* oracle row only certifies the plumbing otherwise."""
+    a green media_* oracle row only certifies the plumbing otherwise.
+    PNG decode is real (pure stdlib) in every environment."""
     from crawler_spark.functions.media import _HAVE_REAL_DECODER, capability_report
 
     rep = capability_report()
     assert rep["real_decoder"] == _HAVE_REAL_DECODER
-    assert set(rep["operations"]) == {"decode", "resize", "features", "frame_sample"}
+    assert set(rep["operations"]) == {
+        "decode", "decode_png", "resize", "features", "frame_sample"
+    }
+    assert rep["operations"]["decode_png"] == "real"
+    assert "real for PNG" in rep["operations"]["decode"]
     if not rep["real_decoder"]:
         assert "stub" in rep["operations"]["decode"]
+
+
+def test_png_codec_round_trip_all_filters():
+    """decode_png must reconstruct pixels exactly through zlib inflate +
+    all five scanline filters (the encoder cycles filter type per row),
+    and must reject corrupted chunk CRCs — the properties that separate
+    a real decoder from byte arithmetic."""
+    import pytest
+
+    from crawler_spark.functions.media import decode_png, encode_png_gray
+
+    for (w, h, seed) in [(2, 2, 1), (8, 6, 12345), (3, 7, 999999999), (1, 5, 7), (16, 16, 42)]:
+        px = bytes((seed * 31 + i * 7) % 256 for i in range(w * h))
+        png = encode_png_gray(w, h, px)
+        rw, rh, depth, ctype, psum = decode_png(png)
+        assert (rw, rh, depth, ctype) == (w, h, 8, 0)
+        assert psum == sum(px)
+
+    corrupted = bytearray(encode_png_gray(4, 4, bytes(16)))
+    corrupted[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupted))
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_decode_media_batch_real_png_path():
+    """decode_media_batch routes PNG-signed payloads through the real
+    decoder (true dimensions) and everything else through the stub."""
+    import pandas as pd
+
+    from crawler_spark.functions.media import decode_media_batch, encode_png_gray
+
+    png = encode_png_gray(5, 3, bytes(15))
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [png, b"hello world"]})
+    out = next(decode_media_batch(iter([pdf])))
+    assert tuple(out.iloc[0][["width", "height", "n_frames"]]) == (5, 3, 1)
+    assert out.iloc[1]["width"] == len(b"hello world") % 1024  # stub path
 
 
 def test_corpus_split_deterministic_and_stratified(spark):

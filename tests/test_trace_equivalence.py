@@ -398,3 +398,83 @@ def test_timing_scheduler_with_depth_priority(spark, tmp_state):
     sched = run.catalog.scheduled.read(spark)
     assert sched.where("priority > 0").count() > 0
     assert_equivalent(spark, sim_res, run)
+
+
+def test_politeness_audit_closes_loop_on_real_timing_crawl(spark, tmp_state):
+    """Closed loop from scheduler to honor-check (VERDICT r3 #6): a REAL
+    scheduler_mode='timing' crawl persists its virtual departure times
+    (scheduled.departure_ms), and the politeness auditor — the same
+    aggregation the driver query uses — must find ZERO gap violations in
+    that log. Producer (plans/round.schedule eta lattice) and checker
+    (linkgraph_ops.audit_politeness_log window) are independent code
+    paths. The audit result is cross-checked against a DuckDB replica
+    over the identical extracted log."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from crawler_spark.crawl_logic import host_delay_s
+    from crawler_spark.queries.linkgraph_ops import audit_politeness_log
+
+    web = generate(n_docs=60, n_hosts=8, seed=13, n_redirects=5)
+    assert web["robots_rules"]["crawl_delay"].notna().any()
+    config = CrawlConfig(
+        seeds=tuple(web["seeds"]["url"]),
+        domain_include_patterns=("example.org",),
+        per_host_budget=3,
+        scheduler_mode="timing",
+    )
+    _sim, _sim_res, run = run_both(spark, tmp_state, web, config, max_rounds=2)
+
+    # effective per-fetch delay per host (robots delay when > 1s, else the
+    # 1/s default) — the standard the audit holds the scheduler to
+    delay_ms = {
+        r["host"]: int(host_delay_s(r["crawl_delay"]) * 1000)
+        for _, r in web["robots_rules"].iterrows()
+    }
+    default_ms = int(host_delay_s(None) * 1000)
+
+    sched = run.catalog.scheduled.read(spark)
+    assert sched.where("departure_ms IS NULL").count() == 0  # timing mode fills it
+    delays_df = spark.createDataFrame(
+        [(h, m) for h, m in delay_ms.items()], "host string, crawl_delay_ms long"
+    )
+    # eta resets each round, so gaps are scoped to (host, round)
+    log = (
+        sched.join(F.broadcast(delays_df), "host", "left")
+        .select(
+            F.concat_ws("#", "host", F.col("round").cast("string")).alias("host"),
+            "departure_ms",
+            F.coalesce("crawl_delay_ms", F.lit(default_ms)).alias("crawl_delay_ms"),
+        )
+    )
+    audit = audit_politeness_log(log)
+    rows = [r.asDict() for r in audit.collect()]
+    assert rows, "audit produced no hosts"
+    # the check must bite: at least one (host, round) saw 2+ departures
+    assert any(r["n_fetches"] >= 2 for r in rows)
+    for r in rows:
+        assert r["n_violations"] == 0, f"politeness violated: {r}"
+        if r["n_fetches"] >= 2:
+            assert r["min_gap_ms"] >= r["crawl_delay_ms"], r
+
+    # DuckDB replica of the audit over the identical log
+    log_pdf = log.toPandas()
+    con = duckdb.connect()
+    con.register("log", log_pdf)
+    oracle = con.execute("""
+        WITH gaps AS (
+          SELECT host, crawl_delay_ms,
+                 departure_ms - lag(departure_ms) OVER (
+                   PARTITION BY host ORDER BY departure_ms) AS gap_ms
+          FROM log)
+        SELECT host, crawl_delay_ms, count(*) AS n_fetches,
+               CAST(sum(CASE WHEN gap_ms < crawl_delay_ms THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violations,
+               min(gap_ms) AS min_gap_ms
+        FROM gaps GROUP BY 1, 2 ORDER BY host
+    """).fetchall()
+    got = [
+        (r["host"], r["crawl_delay_ms"], r["n_fetches"], r["n_violations"], r["min_gap_ms"])
+        for r in rows
+    ]
+    assert got == [tuple(t) for t in oracle]
