@@ -52,7 +52,7 @@ SEED_MOD = int(os.environ.get("SPARK_GRAFT_SEED_MOD", "6"))
 # stages (pair retries, timing round, decide bench) are skipped when the
 # remaining budget cannot fit them — a below-target number in a parsed
 # artifact beats a perfect run that never materializes.
-BENCH_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
+BENCH_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1750"))
 PER_HOST_BUDGET = int(os.environ.get("SPARK_GRAFT_BUDGET", "900"))
 # big rounds: ~4-5M urls/round amortizes the ~30 s/round fixed cost the way
 # web-scale rounds would (scaling efficiency is a property of the
@@ -275,7 +275,14 @@ def decide_bench_sub(n_docs: int = 400_000, cores: int = 8) -> dict | None:
 def crawl_bench_pinned(cpus: int, timeout: float | None = None) -> dict:
     """Run crawl_bench(cpus) in a subprocess pinned to exactly `cpus`
     physical cores (taskset), so the whole tree — JVM + Python UDF
-    workers — shares the advertised core budget."""
+    workers — shares the advertised core budget.
+
+    The leg runs in its own session (process group) and a timeout kills
+    the WHOLE group: subprocess.run's kill() only reaps the direct
+    taskset/python child, leaving the Spark JVM grandchild alive to burn
+    the pinned cores under every later stage (observed: a leaked
+    local[2] JVM depressing the peak leg by ~2 cores' worth)."""
+    import signal
     import subprocess
     import sys
 
@@ -283,12 +290,21 @@ def crawl_bench_pinned(cpus: int, timeout: float | None = None) -> dict:
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_TIMING="1")
-    proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                          timeout=timeout)
-    for line in proc.stdout.splitlines():
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, env=env, start_new_session=True)
+    try:
+        stdout, stderr = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        proc.wait()
+        raise
+    for line in stdout.splitlines():
         if line.startswith("CRAWLJSON "):
             return json.loads(line[len("CRAWLJSON "):])
-    raise RuntimeError(f"crawl bench subprocess failed: {proc.stdout[-500:]} {proc.stderr[-2000:]}")
+    raise RuntimeError(f"crawl bench subprocess failed: {stdout[-500:]} {stderr[-2000:]}")
 
 
 def main():
@@ -404,19 +420,13 @@ def main():
     st["stage"] = "benchweb_ready"
     emit()
 
-    # ---- stage 2: operator query sweep ----
-    from crawler_spark.session import build_session
-
-    spark = build_session(app_name="bench_queries", master=f"local[{cpus}]",
-                          shuffle_partitions=cpus)
-    # queries may use at most ~40% of the whole budget; the scaling pair is
-    # the artifact that actually gates BASELINE.json and must always fit
-    st["qsecs"] = run_queries(spark, sf_dir, deadline=t_all + 0.4 * BENCH_BUDGET)
-    spark.stop()
-    st["stage"] = "queries_done"
-    emit()
-
-    # ---- stage 3: the N->4N scaling pair (the BASELINE.json criterion) ----
+    # ---- stage 2: the N->4N scaling pair (the BASELINE.json criterion) ----
+    # The pair runs FIRST (before the query sweep): it is the one artifact
+    # BASELINE.json gates on, and it is also the stage a slow VM can push
+    # past a leg cap — fronting it means a driver-side kill or a throttled
+    # window can only ever cost the cheaper, re-runnable stages behind it.
+    # (Round-3/early-round-4 runs lost the pair twice by spending the front
+    # of the window on the query sweep.)
     # Shared-VM cycle steal hits individual rounds with 2-4x wall spikes
     # (identical per-round work), so three layers of noise handling, all
     # reported so nothing is hidden:
@@ -433,14 +443,17 @@ def main():
     def run_pair() -> bool:
         try:
             # timeouts bound a hung leg without it eating the whole
-            # budget: the low leg runs ~450-650 s on a quiet VM, the high
-            # leg ~150-250 s; a leg past ~1.5x its expected wall is a VM
-            # stall, and killing it leaves budget for the remaining stages
+            # budget: the low leg runs ~450-650 s on a quiet VM (761 s
+            # measured in the round-3 window), the high leg ~150-280 s;
+            # the caps leave ~2x headroom for VM-throttled windows (a
+            # 950 s cap fired on a quiet-but-throttled VM, losing the
+            # pair — the cap must only catch genuine hangs) while
+            # reserving budget for the other leg + artifact writes
             st["partial_low"] = crawl_bench_pinned(
-                2, timeout=max(300.0, min(remaining() - 240, 950.0)))
+                2, timeout=max(300.0, min(remaining() - 480, 1150.0)))
             st["stage"] = "pair_low_done"
             emit()
-            high = crawl_bench_pinned(8, timeout=max(180.0, min(remaining() - 90, 420.0)))
+            high = crawl_bench_pinned(8, timeout=max(180.0, min(remaining() - 90, 450.0)))
             st["pairs"].append((st["partial_low"], high))
             st["partial_low"] = None
             st["stage"] = f"pair_{len(st['pairs'])}_done"
@@ -483,6 +496,18 @@ def main():
             continue
         futile = 0
         run_pair()
+
+    # ---- stage 3: operator query sweep ----
+    from crawler_spark.session import build_session
+
+    spark = build_session(app_name="bench_queries", master=f"local[{cpus}]",
+                          shuffle_partitions=cpus)
+    # the sweep yields whatever budget is left minus a reserve for the peak
+    # leg + artifact writes; a truncated sweep is marked in the artifact
+    st["qsecs"] = run_queries(spark, sf_dir, deadline=deadline - 320)
+    spark.stop()
+    st["stage"] = "queries_done"
+    emit()
 
     # ---- stage 4: peak throughput (unpinned local[32]) ----
     peak_est = (st["pairs"][0][1]["wall_sec"] * 0.9 + 60) if st["pairs"] else 240
