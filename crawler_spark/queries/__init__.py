@@ -38,8 +38,9 @@ _FRONT = (
     "normalize_dedup", "source_temperature_sample",
     # driver-red in r03 (oracle HUGEINT vs bigint — CAST fixed):
     "embedding_centroids",
-    # new in round 4 (real pure-stdlib PNG decode round-trip):
-    "media_decode_png",
+    # new in round 4 (real pure-stdlib PNG/GIF decode round-trips, full
+    # iterative Lloyd k-means):
+    "media_decode_png", "media_decode_gif", "kmeans_lloyd",
     # engine/oracle touched in round 4 (subtree sharing, integer
     # floor-div, simhash hot-path rewrite):
     "dedup_minhash_lsh", "dedup_minhash_verify", "dedup_components",

@@ -1977,3 +1977,143 @@ ORACLE_EVENT_DEDUP_WINDOWED = """
 
 QUERIES["event_dedup_windowed"] = q_event_dedup_windowed
 ORACLES["event_dedup_windowed"] = ORACLE_EVENT_DEDUP_WINDOWED
+
+
+# ---------------------------------------------------------------------------
+# Real GIF87a decode round-trip (functions/media.py): stage 1 synthesizes
+# genuine GIFs (identity-gray palette, REAL variable-width LZW compression)
+# from the deterministic pixel rule p(i) = (doc_id*37 + i*11) % 256; stage 2
+# decodes them with the pure-stdlib LZW decompressor. The oracle recomputes
+# the pixel sums directly from the rule, so a green row proves the
+# LZW-reconstruction round trip is real — the same closed-loop gate
+# media_decode_png uses for the inflate+unfilter path.
+# ---------------------------------------------------------------------------
+
+
+def q_media_decode_gif(spark, sf_dir):
+    from crawler_spark.functions.media import decode_gif_batch, encode_gif_batch
+
+    dims = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 6 + 3).cast("int").alias("width"),
+        (F.col("doc_id") % 4 + 3).cast("int").alias("height"),
+    )
+    gifs = dims.mapInPandas(encode_gif_batch, "doc_id bigint, payload binary")
+    out = gifs.mapInPandas(
+        decode_gif_batch,
+        "doc_id bigint, width int, height int, n_colors int, pixel_sum bigint",
+    )
+    return out.orderBy("doc_id")
+
+
+ORACLE_MEDIA_DECODE_GIF = """
+    SELECT doc_id,
+           CAST(doc_id % 6 + 3 AS INT) AS width,
+           CAST(doc_id % 4 + 3 AS INT) AS height,
+           CAST(256 AS INT) AS n_colors,
+           CAST(list_sum(list_transform(
+                  range((doc_id % 6 + 3) * (doc_id % 4 + 3)),
+                  i -> (doc_id * 37 + i * 11) % 256)) AS BIGINT) AS pixel_sum
+    FROM documents ORDER BY doc_id
+"""
+
+QUERIES["media_decode_gif"] = q_media_decode_gif
+ORACLES["media_decode_gif"] = ORACLE_MEDIA_DECODE_GIF
+
+
+# ---------------------------------------------------------------------------
+# Iterative k-means (Lloyd) over the embeddings table: _KMEANS_ITERS full
+# assign→update rounds, not just the single centroid step of
+# embedding_centroids. Everything is integer-exact (fixed-point features,
+# integer squared-L2, integer floor-div centroid update, (dist, cid)
+# tie-break) so the DuckDB oracle — the same three iterations unrolled as
+# CTEs — matches bit-exactly. 100-TB shape: per iteration the k×dim
+# centroid table is BROADCAST into the distance join (no shuffle of the
+# exploded features for assignment), then one groupBy(vec_id) shuffle picks
+# the argmin and one groupBy(cid, dim) shuffle updates centroids; lineage is
+# cut per iteration with a localCheckpoint exactly like pagerank/hits.
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 3
+
+
+def q_kmeans_lloyd(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("v").cast("double") * _CENTROID_SCALE).cast("long").alias("fx"),
+    ).localCheckpoint()  # scanned once, reused by all iterations
+    cent = ex.where(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("fx").alias("cfx")
+    )
+    for _ in range(_KMEANS_ITERS):
+        dist = (
+            ex.join(F.broadcast(cent.select("cid", "dim", "cfx")), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("fx") - F.col("cfx")) * (F.col("fx") - F.col("cfx"))).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        assign = (
+            dist.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("vec_id", "cid")
+        )
+        cent = (
+            assign.join(ex, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("fx").alias("sfx"))
+            .select("cid", "dim", "n", F.expr("sfx div n").alias("cfx"))
+            .localCheckpoint()
+        )
+    return cent.select(
+        "cid", "dim", "n", F.col("cfx").alias("centroid_fixed")
+    ).orderBy("cid", "dim")
+
+
+def _kmeans_oracle() -> str:
+    sql = f"""
+    WITH ex AS (
+      SELECT vec_id, CAST(g.dim AS INT) AS dim,
+             CAST(floor(CAST(embedding[g.dim + 1] AS DOUBLE) * {_CENTROID_SCALE})
+                  AS BIGINT) AS fx
+      FROM embeddings,
+           LATERAL unnest(generate_series(0, len(embedding) - 1)) AS g(dim)
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, dim, fx AS cfx, CAST(0 AS BIGINT) AS n
+      FROM ex WHERE vec_id < {_KMEANS_K}
+    )"""
+    prev = "c0"
+    for i in range(1, _KMEANS_ITERS + 1):
+        sql += f""",
+    a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY sum((e.fx - c.cfx) * (e.fx - c.cfx)), c.cid) AS rn
+        FROM ex e JOIN {prev} c USING (dim)
+        GROUP BY e.vec_id, c.cid
+      ) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT a.cid, e.dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(e.fx) // count(*) AS BIGINT) AS cfx
+      FROM a{i} a JOIN ex e USING (vec_id)
+      GROUP BY a.cid, e.dim
+    )"""
+        prev = f"c{i}"
+    return sql + f"""
+    SELECT cid, dim, n, cfx AS centroid_fixed FROM {prev} ORDER BY cid, dim
+    """
+
+
+ORACLE_KMEANS_LLOYD = _kmeans_oracle()
+
+QUERIES["kmeans_lloyd"] = q_kmeans_lloyd
+ORACLES["kmeans_lloyd"] = ORACLE_KMEANS_LLOYD

@@ -319,9 +319,10 @@ def test_media_capability_report():
     rep = capability_report()
     assert rep["real_decoder"] == _HAVE_REAL_DECODER
     assert set(rep["operations"]) == {
-        "decode", "decode_png", "resize", "features", "frame_sample"
+        "decode", "decode_png", "decode_gif", "resize", "features", "frame_sample"
     }
     assert rep["operations"]["decode_png"] == "real"
+    assert rep["operations"]["decode_gif"].startswith("real")
     assert "real for PNG" in rep["operations"]["decode"]
     if not rep["real_decoder"]:
         assert "stub" in rep["operations"]["decode"]
@@ -363,6 +364,60 @@ def test_decode_media_batch_real_png_path():
     out = next(decode_media_batch(iter([pdf])))
     assert tuple(out.iloc[0][["width", "height", "n_frames"]]) == (5, 3, 1)
     assert out.iloc[1]["width"] == len(b"hello world") % 1024  # stub path
+
+
+def test_gif_codec_round_trip_real_lzw():
+    """decode_gif must reconstruct pixels exactly through variable-width
+    LZW — dictionary growth across the 9→10→11→12-bit boundaries, the
+    4096-entry clear-code reset, and the KwKwK one-ahead case — the
+    properties that separate a real LZW decoder from byte arithmetic."""
+    import random
+
+    import pytest
+
+    from crawler_spark.functions.media import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif_gray,
+    )
+
+    rng = random.Random(7)
+    for px in (
+        b"",
+        b"\x00",
+        b"abcabcabcabc" * 50,                                 # dictionary reuse
+        bytes(rng.randrange(256) for _ in range(20_000)),     # forces 4096 resets
+        bytes([5]) * 10_000,                                  # KwKwK-heavy run
+    ):
+        assert _lzw_decode(_lzw_encode(px)) == px
+    # compression must be real: a constant run shrinks dramatically
+    assert len(_lzw_encode(bytes([5]) * 10_000)) < 400
+
+    for (w, h, seed) in [(3, 3, 0), (8, 6, 42), (120, 90, 7), (1, 5, 999)]:
+        px = bytes((seed * 37 + i * 11) % 256 for i in range(w * h))
+        gif = encode_gif_gray(w, h, px)
+        assert decode_gif(gif) == (w, h, 256, sum(px))
+
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 16)  # only 87a supported
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+
+
+def test_decode_media_batch_real_gif_path():
+    """decode_media_batch routes GIF87a-signed payloads through the real
+    LZW decoder (true dimensions), alongside the PNG and stub paths."""
+    import pandas as pd
+
+    from crawler_spark.functions.media import decode_media_batch, encode_gif_gray
+
+    gif = encode_gif_gray(7, 4, bytes(range(28)))
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [gif, b"GIF87a???"]})
+    out = next(decode_media_batch(iter([pdf])))
+    assert tuple(out.iloc[0][["width", "height", "n_frames"]]) == (7, 4, 1)
+    # a truncated/corrupt GIF falls back to the stub, not a crash
+    assert out.iloc[1]["width"] == len(b"GIF87a???") % 1024
 
 
 def test_corpus_split_deterministic_and_stratified(spark):
