@@ -498,6 +498,7 @@ def admit_candidates(
     next_seq: int,
     seen_delta_urls: DataFrame | None = None,
     max_rank: int | None = None,
+    timings: dict | None = None,
 ):
     """Shared D1-D3 admission pipeline (also used for seeding, S1/S2).
 
@@ -526,6 +527,15 @@ def admit_candidates(
     candidates whose bucket bloom says "definitely new" skip the exact
     anti-join entirely (src/Types.hs:35-36 at 10^10 scale, SURVEY.md D1).
     """
+    import time as _t
+
+    _lt = [_t.time()]
+
+    def _sublap(name):
+        if timings is not None:
+            timings[name] = round(_t.time() - _lt[0], 2)
+        _lt[0] = _t.time()
+
     cfg = ctx.config
     occ = occurrences
     host_null_errors = _err(
@@ -572,6 +582,7 @@ def admit_candidates(
             "url string, ord_rank bigint, ord_sub bigint, host string, "
             "prio int, url_hash bigint, maybe_seen boolean",
         ).localCheckpoint()
+        _sublap("fr_flagged")
         # the exact gate never broadcasts url_seen: at 10^10 rows a driver
         # hash-relation build is impossible, and even at bench scale the
         # serial build of millions of strings beats no one. MERGE (not
@@ -625,8 +636,10 @@ def admit_candidates(
     bucket = (
         rank_bucket(F.col("ord_rank"), max_rank) if max_rank else None
     )
+    not_pending = not_pending.localCheckpoint()
+    _sublap("fr_prep")
     ranked = global_rank(
-        not_pending, ["ord_rank", "ord_sub"], "_d", materialize_input=True, bucket=bucket
+        not_pending, ["ord_rank", "ord_sub"], "_d", materialize_input=False, bucket=bucket
     )
     frontier_append = ranked.select(
         "url",
@@ -935,9 +948,14 @@ def run_round(
         seen_delta_urls=url_seen_append.select("url"),
         # ord_rank <= this round's admitted-batch size (already staged)
         max_rank=stager.staged_count("scheduled"),
+        timings=timings,
     )
     errors_append = decision_errors.unionByName(link_errors).unionByName(host_null_errors)
     _submit("errors", errors_append)
+    import time as _t2
+    _w0 = _t2.time()
     _mat("frontier", frontier_append)
+    if timings is not None:
+        timings["fr_write"] = round(_t2.time() - _w0, 2)
     _lap("frontier")
     return True
