@@ -5,7 +5,8 @@ PNG and GIF decoding are REAL and pure-stdlib — `decode_png`: chunk walk
 with CRC verification, zlib-inflated IDAT, per-scanline unfilter for all
 five filter types; `decode_gif`: GIF87a palette + sub-block walk with a
 real variable-width LZW decompressor (9→12-bit widening, clear-code
-resets, KwKwK) — no image library needed. Other payloads fall
+resets, KwKwK); `decode_wav`: RIFF chunk walk with real 16-bit PCM
+sample parsing — no media library needed. Other payloads fall
 back to a deterministic STUB whose outputs are pure functions of the
 payload bytes (`_HAVE_REAL_DECODER` gates a PIL path for other formats
 on clusters that have it); either way the Spark-side plumbing (binary
@@ -45,6 +46,8 @@ def capability_report() -> dict:
             "decode_png": "real",
             "decode_gif": "real (GIF87a: palette, sub-blocks, 9-12 bit LZW "
                           "with clear-code resets and the KwKwK case)",
+            "decode_wav": "real (RIFF chunk walk, 16-bit PCM two's-complement "
+                          "samples, pad-byte/unknown-chunk handling)",
             "resize": "stub (arithmetic on stub dims)",
             "features": "stub (byte-derived vector)",
             "frame_sample": "stub (every-10th index)",
@@ -384,6 +387,92 @@ def decode_gif_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# ---------------------------------------------------------------------------
+# Real WAV (RIFF/PCM) codec, stdlib struct only. Mono/stereo 16-bit PCM —
+# the canonical uncompressed audio case. The decoder does a proper chunk
+# walk (fmt before data, unknown chunks skipped, odd-size pad bytes
+# honored) and parses the signed little-endian samples, so sample_sum /
+# sum_sq can only come out right if the two's-complement round trip is
+# correct. Anything non-PCM16 raises ValueError → the caller's stub path.
+# ---------------------------------------------------------------------------
+
+WAV_SIG = b"RIFF"
+
+
+def encode_wav_pcm16(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer: fmt (PCM) + data, 16-bit signed LE."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:  # RIFF chunks are word-aligned
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """(sample_rate, channels, bits, n_samples, sample_sum, sum_sq) via a
+    real RIFF chunk walk. n_samples counts per-channel frames × channels
+    (i.e. total s16 values), sums are over all values."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    fmt = None
+    data = None
+    while pos + 8 <= min(end, len(payload)):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        chunk = payload[pos + 8:pos + 8 + size]
+        if len(chunk) < size:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size % 2)  # pad byte on odd sizes
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only 16-bit PCM supported")
+    n = len(data) // 2
+    vals = struct.unpack(f"<{n}h", data[: n * 2])
+    return (
+        sample_rate, channels, bits, n,
+        sum(vals), sum(v * v for v in vals),
+    )
+
+
+def encode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: (doc_id, sample_rate, n_samples) → (doc_id, payload)
+    with deterministic signed samples s(i) = ((doc_id*13 + i*17) % 65536)
+    - 32768 — the rule the DuckDB oracle recomputes, closing the loop."""
+    for pdf in batches:
+        rows = []
+        for doc_id, sr, n in zip(pdf["doc_id"], pdf["sample_rate"], pdf["n_samples"]):
+            doc_id, sr, n = int(doc_id), int(sr), int(n)
+            samples = [((doc_id * 13 + i * 17) % 65536) - 32768 for i in range(n)]
+            rows.append((doc_id, encode_wav_pcm16(sr, samples)))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+
+def decode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas over (doc_id, payload) → real WAV decode results."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            sr, ch, bits, n, ssum, ssq = decode_wav(bytes(payload))
+            rows.append((int(doc_id), sr, ch, bits, n, ssum, ssq))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "sample_rate", "channels", "bits",
+                     "n_samples", "sample_sum", "sum_sq"],
+        )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     """(n_bytes, width, height, n_frames) — deterministic in the bytes."""
     n = len(payload)
@@ -406,6 +495,11 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 if b[:6] == GIF_SIG:
                     w, h, _nc, _psum = decode_gif(b)
                     meta.append((len(b), w, h, 1))
+                    continue
+                if b[:4] == WAV_SIG and b[8:12] == b"WAVE":
+                    _sr, ch, _bits, n, _ssum, _ssq = decode_wav(b)
+                    # width := per-channel frame count, height := channels
+                    meta.append((len(b), n // max(ch, 1), ch, 1))
                     continue
             except (ValueError, struct.error, zlib.error):
                 pass  # corrupt payload: stub metadata, same as unknown format

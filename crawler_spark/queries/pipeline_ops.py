@@ -2022,6 +2022,55 @@ ORACLES["media_decode_gif"] = ORACLE_MEDIA_DECODE_GIF
 
 
 # ---------------------------------------------------------------------------
+# Real WAV (RIFF/PCM16) decode round-trip (functions/media.py): stage 1
+# synthesizes genuine WAV files from the deterministic signed-sample rule
+# s(i) = ((doc_id*13 + i*17) % 65536) - 32768; stage 2 decodes them with
+# the pure-stdlib RIFF walker + PCM16 parser. sample_sum and sum_sq are
+# recomputed by the oracle directly from the rule, so a green row proves
+# the two's-complement sample round trip is real — the audio leg of the
+# same closed-loop gate media_decode_png/gif use. Scale shape: two chained
+# Arrow-batched mapInPandas stages, zero shuffles, zero driver state.
+# ---------------------------------------------------------------------------
+
+
+def q_media_decode_wav(spark, sf_dir):
+    from crawler_spark.functions.media import decode_wav_batch, encode_wav_batch
+
+    dims = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(8000) + (F.col("doc_id") % 4) * 4000).cast("int").alias("sample_rate"),
+        (F.col("doc_id") % 48 + 16).cast("int").alias("n_samples"),
+    )
+    wavs = dims.mapInPandas(encode_wav_batch, "doc_id bigint, payload binary")
+    out = wavs.mapInPandas(
+        decode_wav_batch,
+        "doc_id bigint, sample_rate int, channels int, bits int, "
+        "n_samples int, sample_sum bigint, sum_sq bigint",
+    )
+    return out.orderBy("doc_id")
+
+
+ORACLE_MEDIA_DECODE_WAV = """
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(16 AS INT) AS bits,
+           CAST(doc_id % 48 + 16 AS INT) AS n_samples,
+           CAST(list_sum(list_transform(
+                  range(doc_id % 48 + 16),
+                  i -> (doc_id * 13 + i * 17) % 65536 - 32768)) AS BIGINT) AS sample_sum,
+           CAST(list_sum(list_transform(
+                  range(doc_id % 48 + 16),
+                  i -> ((doc_id * 13 + i * 17) % 65536 - 32768)
+                       * ((doc_id * 13 + i * 17) % 65536 - 32768))) AS BIGINT) AS sum_sq
+    FROM documents ORDER BY doc_id
+"""
+
+QUERIES["media_decode_wav"] = q_media_decode_wav
+ORACLES["media_decode_wav"] = ORACLE_MEDIA_DECODE_WAV
+
+
+# ---------------------------------------------------------------------------
 # Iterative k-means (Lloyd) over the embeddings table: _KMEANS_ITERS full
 # assign→update rounds, not just the single centroid step of
 # embedding_centroids. Everything is integer-exact (fixed-point features,

@@ -420,6 +420,52 @@ def test_decode_media_batch_real_gif_path():
     assert out.iloc[1]["width"] == len(b"GIF87a???") % 1024
 
 
+def test_wav_codec_round_trip_real_pcm():
+    """decode_wav must recover exact signed 16-bit samples through a real
+    RIFF chunk walk — extremes, zeros, junk-chunk skipping, pad bytes."""
+    import struct
+
+    import pytest
+
+    from crawler_spark.functions.media import decode_wav, encode_wav_pcm16
+
+    cases = [
+        [0, 1, -1, 32767, -32768],
+        [((7 * 13 + i * 17) % 65536) - 32768 for i in range(53)],
+        [],
+    ]
+    for samples in cases:
+        b = encode_wav_pcm16(22050, samples)
+        assert decode_wav(b) == (
+            22050, 1, 16, len(samples), sum(samples),
+            sum(v * v for v in samples),
+        )
+    # unknown chunk with odd size: walker must skip it + its pad byte
+    b = encode_wav_pcm16(8000, [5, -5])
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = b[:12] + junk + b[12:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced)[3:] == (2, 0, 50)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00NOPE")
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio")
+
+
+def test_decode_media_batch_real_wav_path():
+    """decode_media_batch routes RIFF/WAVE payloads through the real PCM
+    decoder (frames → width, channels → height), stub otherwise."""
+    import pandas as pd
+
+    from crawler_spark.functions.media import decode_media_batch, encode_wav_pcm16
+
+    wav = encode_wav_pcm16(16000, list(range(-10, 11)))
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [wav, b"RIFFxxxxNOPE"]})
+    out = next(decode_media_batch(iter([pdf])))
+    assert tuple(out.iloc[0][["width", "height", "n_frames"]]) == (21, 1, 1)
+    assert out.iloc[1]["width"] == len(b"RIFFxxxxNOPE") % 1024
+
+
 def test_corpus_split_deterministic_and_stratified(spark):
     """Properties beyond the oracle gate: the split is a pure function of
     doc_id (append-stability), every split is non-empty at 500 docs, and
