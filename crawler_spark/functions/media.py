@@ -48,9 +48,15 @@ def capability_report() -> dict:
                           "with clear-code resets and the KwKwK case)",
             "decode_wav": "real (RIFF chunk walk, 16-bit PCM two's-complement "
                           "samples, pad-byte/unknown-chunk handling)",
-            "resize": "stub (arithmetic on stub dims)",
-            "features": "stub (byte-derived vector)",
-            "frame_sample": "stub (every-10th index)",
+            "resize": "real for grayscale PNG (decode → integer "
+                      "nearest-neighbor grid resample → re-encode); "
+                      "stub (arithmetic on stub dims) for other formats",
+            "features": "real for WAV audio (peak / zero-crossings / lag-1 "
+                        "autocorrelation over decoded PCM); "
+                        "stub (byte-derived vector) for images",
+            "frame_sample": "real for multi-image GIF87a (per-frame LZW "
+                            "decode, every-3rd-frame sample); "
+                            "stub (every-10th index) for other formats",
         },
         "plumbing": "real (binary column, Arrow-batched mapInPandas, typed schemas)",
     }
@@ -82,6 +88,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int]:
     pixel_sum) where pixel_sum is the sum of all raw 8-bit samples after
     unfiltering — a value that only a REAL decode (inflate + filter
     reconstruction) can produce. Chunk CRCs are verified."""
+    w, h, depth, ctype, px = decode_png_pixels(payload)
+    return w, h, depth, ctype, sum(px)
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Full PNG decode returning the reconstructed sample bytes
+    (row-major, channels interleaved) — the input to real resize."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -112,7 +125,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int]:
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")
     prev = bytearray(stride)
-    pixel_sum = 0
+    pixels = bytearray()
     off = 0
     for _ in range(h):
         ft = raw[off]
@@ -136,9 +149,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int]:
                 line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
         elif ft != 0:
             raise ValueError(f"bad filter type {ft}")
-        pixel_sum += sum(line)
+        pixels += line
         prev = line
-    return w, h, depth, ctype, pixel_sum
+    return w, h, depth, ctype, bytes(pixels)
 
 
 def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
@@ -207,6 +220,42 @@ def decode_png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows,
             columns=["doc_id", "width", "height", "bit_depth", "color_type", "pixel_sum"],
         )
+
+
+def resize_png_nn(payload: bytes, box: int = 8) -> tuple[int, int, int, bytes]:
+    """REAL nearest-neighbor resize for grayscale PNGs: full decode,
+    integer-exact sample-grid resample to fit a box×box bound (aspect
+    preserved), re-encode. Returns (out_w, out_h, out_pixel_sum,
+    resized_png). Integer-only arithmetic so an SQL oracle reproduces
+    every output pixel bit-exactly."""
+    w, h, _depth, ctype, px = decode_png_pixels(payload)
+    if ctype != 0:
+        raise ValueError("real resize supports grayscale PNGs")
+    big = max(w, h, 1)
+    if big <= box:
+        out_w, out_h = w, h
+    else:
+        out_w = max(1, (w * box) // big)
+        out_h = max(1, (h * box) // big)
+    out = bytes(
+        px[(oy * h // out_h) * w + (ox * w // out_w)]
+        for oy in range(out_h)
+        for ox in range(out_w)
+    )
+    return out_w, out_h, sum(out), encode_png_gray(out_w, out_h, out)
+
+
+def resize_png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas over (doc_id, payload) → real resize results, with the
+    resized image round-tripped through the encoder+decoder again so the
+    reported sum comes from the RE-DECODED output, not the intermediate."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            out_w, out_h, _psum, resized = resize_png_nn(bytes(payload))
+            w2, h2, _d, _c, psum2 = decode_png(resized)
+            rows.append((int(doc_id), w2, h2, psum2))
+        yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "out_pixel_sum"])
 
 
 # ---------------------------------------------------------------------------
@@ -362,6 +411,107 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, int]:
     return w, h, n_colors, pixel_sum
 
 
+def encode_gif_multi(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Multi-image GIF87a (one image block per frame over a shared global
+    palette) — the 87a-legal animation layout; each frame's pixel data is
+    independently LZW-compressed."""
+    out = bytearray(GIF_SIG)
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    for px in frames:
+        if len(px) != width * height:
+            raise ValueError("pixel buffer size mismatch")
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(8)
+        lzw = _lzw_encode(px, 8)
+        for off in range(0, len(lzw), 255):
+            block = lzw[off:off + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"  # block terminator
+    out += b"\x3B"  # trailer
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> tuple[int, int, list[int]]:
+    """Walk EVERY image block of a GIF87a, running the real LZW
+    decompressor per frame; returns (width, height, [per-frame
+    pixel_sum]). The multi-frame twin of decode_gif."""
+    if payload[:6] != GIF_SIG:
+        raise ValueError("not a GIF87a")
+    sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("no global color table")
+    n_colors = 2 << (flags & 0x07)
+    palette = payload[pos:pos + 3 * n_colors]
+    pos += 3 * n_colors
+    sums: list[int] = []
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker != 0x2C:
+            raise ValueError(f"unexpected block 0x{marker:02x}")
+        _l, _t, w, h, iflags = struct.unpack("<HHHHB", payload[pos:pos + 9])
+        pos += 9
+        if iflags & 0xC0:
+            raise ValueError("unsupported local palette / interlace")
+        mcs = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            lzw += payload[pos:pos + n]
+            pos += n
+        idx = _lzw_decode(bytes(lzw), mcs)
+        if len(idx) < w * h:
+            raise ValueError("LZW stream shorter than image")
+        sums.append(sum(palette[3 * i] for i in idx[:w * h]))
+    if not sums:
+        raise ValueError("no image blocks")
+    return sw, sh, sums
+
+
+FRAME_STRIDE = 3
+
+
+def encode_gif_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: (doc_id, width, height, n_frames) → (doc_id, payload)
+    multi-frame GIFs with per-frame pixels p_f(i) = (doc_id*41 + f*19 +
+    i*11) % 256 — the rule the DuckDB oracle recomputes per frame."""
+    for pdf in batches:
+        rows = []
+        for doc_id, w, h, nf in zip(
+            pdf["doc_id"], pdf["width"], pdf["height"], pdf["n_frames"]
+        ):
+            doc_id, w, h, nf = int(doc_id), int(w), int(h), int(nf)
+            frames = [
+                bytes((doc_id * 41 + f * 19 + i * 11) % 256 for i in range(w * h))
+                for f in range(nf)
+            ]
+            rows.append((doc_id, encode_gif_multi(w, h, frames)))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+
+def sample_gif_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL frame sampling: decode every frame of a multi-image GIF87a,
+    emit one row per FRAME_STRIDE-th frame with its real pixel sum — the
+    row-expanding (UDTF-shaped) mapInPandas pattern over real decode."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, sums = decode_gif_frames(bytes(payload))
+            for f in range(0, len(sums), FRAME_STRIDE):
+                rows.append((int(doc_id), f, sums[f]))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "pixel_sum"])
+
+
 def encode_gif_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas: (doc_id, width, height) → (doc_id, payload) with
     deterministic pixels p(i) = (doc_id*37 + i*11) % 256 — the rule the
@@ -473,6 +623,47 @@ def decode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def audio_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL audio feature extraction over decoded PCM: peak amplitude,
+    sign-change (zero-crossing) count, and lag-1 autocorrelation numerator
+    — all integer-exact so the SQL oracle reproduces them bit-for-bit.
+    These are the standard cheap time-domain features (VAD/energy gates)
+    a 100-TB audio pipeline computes at ingest."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _sr, _ch, _bits, n, _ssum, _ssq = decode_wav(bytes(payload))
+            data = bytes(payload)
+            # re-parse samples via the decoder's chunk walk (decode_wav
+            # validated the layout; sums alone don't give us the series)
+            vals = _wav_samples(data)
+            peak = max((abs(v) for v in vals), default=0)
+            zc = sum(
+                1 for i in range(1, len(vals))
+                if (vals[i - 1] < 0) != (vals[i] < 0)
+            )
+            ac1 = sum(vals[i] * vals[i + 1] for i in range(len(vals) - 1))
+            rows.append((int(doc_id), n, peak, zc, ac1))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_samples", "peak_abs", "zero_crossings", "autocorr1"]
+        )
+
+
+def _wav_samples(payload: bytes) -> tuple[int, ...]:
+    """The decoded PCM series of a RIFF/WAVE payload (chunk walk shared
+    with decode_wav's layout rules)."""
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    while pos + 8 <= min(end, len(payload)):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if cid == b"data":
+            data = payload[pos + 8:pos + 8 + size]
+            n = len(data) // 2
+            return struct.unpack(f"<{n}h", data[: n * 2])
+        pos += 8 + size + (size % 2)
+    raise ValueError("missing data chunk")
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     """(n_bytes, width, height, n_frames) — deterministic in the bytes."""
     n = len(payload)
@@ -510,26 +701,45 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 
 def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Frame sampling stub: one row per sampled frame index (every 10th of
-    n_frames), with a deterministic per-frame feature hash. Demonstrates
-    the UDTF-shaped (row-expanding) mapInPandas pattern used for video."""
+    """Frame sampling: REAL for multi-image GIF87a payloads (every
+    FRAME_STRIDE-th frame, feature_hash = real decoded pixel_sum % 997);
+    deterministic stub for other formats (every 10th of fake n_frames).
+    Demonstrates the UDTF-shaped (row-expanding) mapInPandas pattern."""
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n, _w, _h, n_frames = _fake_decode(bytes(payload))
+            b = bytes(payload)
+            if b[:6] == GIF_SIG:
+                try:
+                    _w, _h, sums = decode_gif_frames(b)
+                    for f in range(0, len(sums), FRAME_STRIDE):
+                        rows.append((doc_id, f, sums[f] % 997))
+                    continue
+                except (ValueError, struct.error):
+                    pass
+            n, _w, _h, n_frames = _fake_decode(b)
             for idx in range(0, n_frames, 10):
                 rows.append((doc_id, idx, (n * 31 + idx * 7) % 997))
         yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "feature_hash"])
 
 
 def resize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Resize stub: scale fake dims to fit a 256x256 box (integer math so
-    the DuckDB oracle reproduces it bit-exactly), plus a deterministic
-    content hash of the "resized" payload. Real path: PIL thumbnail."""
+    """Resize: REAL nearest-neighbor resample for grayscale PNG payloads
+    (decode → integer grid resample → re-encode; resized_hash = real
+    output pixel sum % 100000); stub arithmetic on fake dims for other
+    formats (integer math so the DuckDB oracle reproduces it)."""
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n, in_w, in_h, _ = _fake_decode(bytes(payload))
+            b = bytes(payload)
+            if b[:8] == PNG_SIG:
+                try:
+                    out_w, out_h, psum, _resized = resize_png_nn(b)
+                    rows.append((doc_id, out_w, out_h, psum % 100000))
+                    continue
+                except (ValueError, struct.error, zlib.error):
+                    pass
+            n, in_w, in_h, _ = _fake_decode(b)
             big = max(in_w, in_h, 1)
             out_w = max(1, (in_w * 256) // big)
             out_h = max(1, (in_h * 256) // big)

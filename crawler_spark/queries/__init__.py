@@ -40,7 +40,9 @@ _FRONT = (
     "embedding_centroids",
     # new in round 4 (real pure-stdlib PNG/GIF decode round-trips, full
     # iterative Lloyd k-means):
-    "media_decode_png", "media_decode_gif", "media_decode_wav", "kmeans_lloyd",
+    "media_decode_png", "media_decode_gif", "media_decode_wav",
+    "media_resize_png", "media_frames_gif", "media_audio_features",
+    "kmeans_lloyd",
     # engine/oracle touched in round 4 (subtree sharing, integer
     # floor-div, simhash hot-path rewrite):
     "dedup_minhash_lsh", "dedup_minhash_verify", "dedup_components",

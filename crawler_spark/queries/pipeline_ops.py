@@ -2071,6 +2071,171 @@ ORACLES["media_decode_wav"] = ORACLE_MEDIA_DECODE_WAV
 
 
 # ---------------------------------------------------------------------------
+# REAL PNG resize (functions/media.py resize_png_nn): synthesize genuine
+# 16-28 × 16-26 grayscale PNGs from the p(i) = (doc_id*31 + i*7) % 256
+# rule, decode → integer nearest-neighbor resample into an 8×8 box →
+# re-encode → RE-DECODE, and report the re-decoded output's dimensions and
+# pixel sum. The oracle recomputes every sampled pixel from the rule and
+# the grid arithmetic, so a green row proves decode, resample, and the
+# second encode/decode round trip are all real. Two chained mapInPandas
+# stages, zero shuffles.
+# ---------------------------------------------------------------------------
+
+
+def q_media_resize_png(spark, sf_dir):
+    from crawler_spark.functions.media import encode_png_batch, resize_png_batch
+
+    dims = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 13 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 11 + 16).cast("int").alias("height"),
+    )
+    pngs = dims.mapInPandas(encode_png_batch, "doc_id bigint, payload binary")
+    out = pngs.mapInPandas(
+        resize_png_batch,
+        "doc_id bigint, out_w int, out_h int, out_pixel_sum bigint",
+    )
+    return out.orderBy("doc_id")
+
+
+ORACLE_MEDIA_RESIZE_PNG = """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 13 + 16 AS w,
+             doc_id % 11 + 16 AS h,
+             greatest(doc_id % 13 + 16, doc_id % 11 + 16) AS big
+      FROM documents
+    ), o AS (
+      SELECT doc_id, w, h,
+             greatest(1, (w * 8) // big) AS ow,
+             greatest(1, (h * 8) // big) AS oh
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(ow AS INT) AS out_w,
+           CAST(oh AS INT) AS out_h,
+           CAST(list_sum(list_transform(
+                  range(ow * oh),
+                  k -> (doc_id * 31
+                        + (((k // ow) * h // oh) * w + ((k % ow) * w // ow)) * 7
+                       ) % 256)) AS BIGINT) AS out_pixel_sum
+    FROM o ORDER BY doc_id
+"""
+
+QUERIES["media_resize_png"] = q_media_resize_png
+ORACLES["media_resize_png"] = ORACLE_MEDIA_RESIZE_PNG
+
+
+# ---------------------------------------------------------------------------
+# REAL frame sampling over multi-image GIF87a (functions/media.py): stage 1
+# synthesizes 4-12-frame GIFs with per-frame pixels p_f(i) = (doc_id*41 +
+# f*19 + i*11) % 256; stage 2 LZW-decodes EVERY frame and emits each
+# 3rd-frame row with its real pixel sum — a row-expanding mapInPandas
+# (the video-sampling shape) whose values only a real per-frame decode
+# produces. The oracle expands frames via unnest(range(...)).
+# ---------------------------------------------------------------------------
+
+
+def q_media_frames_gif(spark, sf_dir):
+    from crawler_spark.functions.media import (
+        encode_gif_frames_batch,
+        sample_gif_frames_batch,
+    )
+
+    dims = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 5 + 2).cast("int").alias("width"),
+        (F.col("doc_id") % 4 + 2).cast("int").alias("height"),
+        (F.col("doc_id") % 9 + 4).cast("int").alias("n_frames"),
+    )
+    gifs = dims.mapInPandas(encode_gif_frames_batch, "doc_id bigint, payload binary")
+    out = gifs.mapInPandas(
+        sample_gif_frames_batch,
+        "doc_id bigint, frame_idx int, pixel_sum bigint",
+    )
+    return out.orderBy("doc_id", "frame_idx")
+
+
+ORACLE_MEDIA_FRAMES_GIF = """
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(list_sum(list_transform(
+                  range((doc_id % 5 + 2) * (doc_id % 4 + 2)),
+                  i -> (doc_id * 41 + f * 19 + i * 11) % 256)) AS BIGINT) AS pixel_sum
+    FROM documents, unnest(range(doc_id % 9 + 4)) AS t(f)
+    WHERE f % 3 = 0
+    ORDER BY doc_id, frame_idx
+"""
+
+QUERIES["media_frames_gif"] = q_media_frames_gif
+ORACLES["media_frames_gif"] = ORACLE_MEDIA_FRAMES_GIF
+
+
+# ---------------------------------------------------------------------------
+# REAL audio features over decoded PCM (functions/media.py
+# audio_features_batch): peak amplitude, zero-crossing count, lag-1
+# autocorrelation — the standard cheap time-domain gates an audio ingest
+# pipeline runs at 100 TB. Samples use the oscillating rule s(i) =
+# ((doc_id*13 + i*7919) % 65536) - 32768 (step 7919 wraps the s16 range
+# every ~8 samples, so sign changes are frequent and the zero-crossing
+# column is information-bearing). All integer-exact; the oracle recomputes
+# each feature closed-form from the rule.
+# ---------------------------------------------------------------------------
+
+
+def q_media_audio_features(spark, sf_dir):
+    from crawler_spark.functions.media import audio_features_batch
+
+    import pandas as pd
+
+    from crawler_spark.functions.media import encode_wav_pcm16
+
+    def _encode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_samples"]):
+                doc_id, n = int(doc_id), int(n)
+                samples = [((doc_id * 13 + i * 7919) % 65536) - 32768 for i in range(n)]
+                rows.append((doc_id, encode_wav_pcm16(16000, samples)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    dims = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 40 + 24).cast("int").alias("n_samples")
+    )
+    wavs = dims.mapInPandas(_encode, "doc_id bigint, payload binary")
+    out = wavs.mapInPandas(
+        audio_features_batch,
+        "doc_id bigint, n_samples int, peak_abs int, zero_crossings int, autocorr1 bigint",
+    )
+    return out.orderBy("doc_id")
+
+
+ORACLE_MEDIA_AUDIO_FEATURES = """
+    WITH d AS (
+      SELECT doc_id, doc_id % 40 + 24 AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_samples,
+           CAST(list_max(list_transform(
+                  range(n),
+                  i -> abs((doc_id * 13 + i * 7919) % 65536 - 32768))) AS INT) AS peak_abs,
+           CAST(list_sum(list_transform(
+                  range(1, n),
+                  i -> CASE WHEN ((doc_id * 13 + (i - 1) * 7919) % 65536 - 32768 < 0)
+                            <> ((doc_id * 13 + i * 7919) % 65536 - 32768 < 0)
+                       THEN 1 ELSE 0 END)) AS INT) AS zero_crossings,
+           CAST(list_sum(list_transform(
+                  range(n - 1),
+                  i -> ((doc_id * 13 + i * 7919) % 65536 - 32768)
+                       * ((doc_id * 13 + (i + 1) * 7919) % 65536 - 32768))) AS BIGINT) AS autocorr1
+    FROM d ORDER BY doc_id
+"""
+
+QUERIES["media_audio_features"] = q_media_audio_features
+ORACLES["media_audio_features"] = ORACLE_MEDIA_AUDIO_FEATURES
+
+
+# ---------------------------------------------------------------------------
 # Iterative k-means (Lloyd) over the embeddings table: _KMEANS_ITERS full
 # assign→update rounds, not just the single centroid step of
 # embedding_centroids. Everything is integer-exact (fixed-point features,

@@ -319,10 +319,14 @@ def test_media_capability_report():
     rep = capability_report()
     assert rep["real_decoder"] == _HAVE_REAL_DECODER
     assert set(rep["operations"]) == {
-        "decode", "decode_png", "decode_gif", "resize", "features", "frame_sample"
+        "decode", "decode_png", "decode_gif", "decode_wav",
+        "resize", "features", "frame_sample",
     }
     assert rep["operations"]["decode_png"] == "real"
     assert rep["operations"]["decode_gif"].startswith("real")
+    assert rep["operations"]["decode_wav"].startswith("real")
+    for op in ("resize", "features", "frame_sample"):
+        assert rep["operations"][op].startswith("real for")
     assert "real for PNG" in rep["operations"]["decode"]
     if not rep["real_decoder"]:
         assert "stub" in rep["operations"]["decode"]
@@ -418,6 +422,87 @@ def test_decode_media_batch_real_gif_path():
     assert tuple(out.iloc[0][["width", "height", "n_frames"]]) == (7, 4, 1)
     # a truncated/corrupt GIF falls back to the stub, not a crash
     assert out.iloc[1]["width"] == len(b"GIF87a???") % 1024
+
+
+def test_gif_multi_frame_round_trip():
+    """decode_gif_frames must LZW-reconstruct EVERY image block; the
+    sampler emits every 3rd frame with the real per-frame sum."""
+    import pandas as pd
+    import pytest
+
+    from crawler_spark.functions.media import (
+        FRAME_STRIDE,
+        decode_gif_frames,
+        encode_gif_multi,
+        sample_gif_frames_batch,
+    )
+
+    for w, h, nf in [(2, 2, 1), (5, 3, 7), (4, 6, 12)]:
+        frames = [
+            bytes((3 * 41 + f * 19 + i * 11) % 256 for i in range(w * h))
+            for f in range(nf)
+        ]
+        sw, sh, sums = decode_gif_frames(encode_gif_multi(w, h, frames))
+        assert (sw, sh) == (w, h)
+        assert sums == [sum(f) for f in frames]
+    pdf = pd.DataFrame({
+        "doc_id": [3],
+        "payload": [encode_gif_multi(2, 2, [bytes([f] * 4) for f in range(8)])],
+    })
+    out = next(sample_gif_frames_batch(iter([pdf])))
+    assert list(out["frame_idx"]) == list(range(0, 8, FRAME_STRIDE))
+    assert list(out["pixel_sum"]) == [4 * f for f in range(0, 8, FRAME_STRIDE)]
+    with pytest.raises(ValueError):
+        decode_gif_frames(b"GIF87a" + b"\x00" * 7)  # no global palette bit
+
+
+def test_resize_png_nn_exact_grid():
+    """Real resize: per-pixel equality with the reference grid sample,
+    identity below the box, and the re-encoded output decodes to the
+    same pixels."""
+    from crawler_spark.functions.media import (
+        decode_png_pixels,
+        encode_png_gray,
+        resize_png_nn,
+    )
+
+    w, h = 21, 13
+    px = bytes((11 * 31 + i * 7) % 256 for i in range(w * h))
+    out_w, out_h, psum, resized = resize_png_nn(encode_png_gray(w, h, px), box=8)
+    assert (out_w, out_h) == (8, (13 * 8) // 21)
+    rw, rh, _d, _c, rpx = decode_png_pixels(resized)
+    assert (rw, rh) == (out_w, out_h)
+    expect = bytes(
+        px[(oy * h // out_h) * w + (ox * w // out_w)]
+        for oy in range(out_h) for ox in range(out_w)
+    )
+    assert rpx == expect and psum == sum(expect)
+    # image already inside the box: identity
+    small = encode_png_gray(4, 3, bytes(range(12)))
+    assert resize_png_nn(small, box=8)[:2] == (4, 3)
+
+
+def test_media_dispatch_real_branches():
+    """The generic resize/frame-sample entry points route PNG/GIF payloads
+    through the real codecs, stub otherwise."""
+    import pandas as pd
+
+    from crawler_spark.functions.media import (
+        encode_gif_multi,
+        encode_png_gray,
+        resize_media_batch,
+        sample_frames_batch,
+    )
+
+    png = encode_png_gray(20, 10, bytes(200))
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [png, b"not an image"]})
+    out = next(resize_media_batch(iter([pdf])))
+    assert tuple(out.iloc[0][["out_w", "out_h", "resized_hash"]]) == (8, 4, 0)
+    gif = encode_gif_multi(2, 2, [bytes([9] * 4)] * 4)
+    out2 = next(sample_frames_batch(iter([pd.DataFrame(
+        {"doc_id": [1], "payload": [gif]})])))
+    assert list(out2["frame_idx"]) == [0, 3]
+    assert list(out2["feature_hash"]) == [36, 36]
 
 
 def test_wav_codec_round_trip_real_pcm():
