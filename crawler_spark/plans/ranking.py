@@ -38,6 +38,53 @@ def rank_bucket(minor, minor_max: int, major=None):
     return b
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str,
+    bucket=None,
+) -> DataFrame:
+    """Append `out_col` = exclusive global running sum of `val_col` in
+    `order_col` order (sum of all STRICTLY-PRECEDING rows' values).
+
+    Same two-level shape as global_rank's bucket path: `bucket` must be a
+    Column MONOTONE in `order_col` ((k1 < k2) ⇒ (b1 <= b2)); intra-bucket
+    prefix sums run as hash-partitioned windows, per-bucket totals get one
+    tiny O(#buckets) cumulative window, offsets broadcast back. The corpus
+    never passes through a single partition — the thing a naive
+    Window.orderBy over the whole table would do.
+    """
+    if bucket is None:
+        bucket = F.col(order_col)
+    d = df.withColumn("_cb", bucket.cast("long"))
+    w_in = (
+        Window.partitionBy("_cb").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_intra", F.coalesce(F.sum(val_col).over(w_in), F.lit(0)))
+    offs = (
+        d.groupBy("_cb").agg(F.sum(val_col).alias("_bsum"))
+        .withColumn(
+            "_boff",
+            F.coalesce(
+                F.sum("_bsum").over(
+                    Window.partitionBy(F.lit(0))
+                    .orderBy("_cb")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_cb", "_boff")
+    )
+    return (
+        d.join(F.broadcast(offs), "_cb")
+        .withColumn(out_col, (F.col("_intra") + F.col("_boff")).cast("long"))
+        .drop("_cb", "_intra", "_boff")
+    )
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[str],

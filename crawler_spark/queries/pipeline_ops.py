@@ -2236,6 +2236,80 @@ ORACLES["media_audio_features"] = ORACLE_MEDIA_AUDIO_FEATURES
 
 
 # ---------------------------------------------------------------------------
+# GPT-style sequence packing: concatenate documents (doc_id order) into one
+# contiguous token stream and chunk it into fixed _PACK_LEN-token training
+# sequences; each doc reports which pack it starts in, at what offset, and
+# how many packs it spans. This is the standard LLM pretraining layout
+# (concatenate + chunk), and the global running sum is the whole problem at
+# 100 TB: a naive Window.orderBy(doc_id) over the corpus is one partition.
+# Shape here: the same deterministic two-level pattern as
+# plans/ranking.global_rank — intra-bucket cumsum windows keyed on
+# bucket(doc_id) (monotone in the order key), a tiny per-bucket-total
+# cumsum (O(#buckets) rows), broadcast the offsets back. One shuffle over
+# the counts, never over the text.
+# ---------------------------------------------------------------------------
+
+_PACK_LEN = 2048
+
+
+def q_token_packing(spark, sf_dir):
+    from crawler_spark.plans.ranking import global_cumsum
+
+    counts = q_token_count(spark, sf_dir).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tok")
+    )
+    out = (
+        global_cumsum(
+            counts, "doc_id", "n_tok", "cum_before",
+            bucket=F.expr("doc_id div 4096"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tokens"),
+            F.expr(f"cum_before div {_PACK_LEN}").alias("pack_id"),
+            (F.col("cum_before") % _PACK_LEN).alias("pack_offset"),
+            F.when(F.col("n_tok") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.expr(f"(cum_before + n_tok - 1) div {_PACK_LEN}")
+                - F.expr(f"cum_before div {_PACK_LEN}")
+                + 1
+            )
+            .alias("n_spanned_packs"),
+        )
+    )
+    return out.orderBy("doc_id")
+
+
+ORACLE_TOKEN_PACKING = f"""
+    WITH t AS ({_TOKENS_SQL}),
+    n AS (
+      SELECT doc_id,
+             COALESCE(CAST(list_sum(list_transform(
+                 tokens, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT), 0) AS n_tok
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(cum_before // {_PACK_LEN} AS BIGINT) AS pack_id,
+           CAST(cum_before % {_PACK_LEN} AS BIGINT) AS pack_offset,
+           CAST(CASE WHEN n_tok = 0 THEN 0
+                ELSE (cum_before + n_tok - 1) // {_PACK_LEN}
+                     - cum_before // {_PACK_LEN} + 1 END AS BIGINT) AS n_spanned_packs
+    FROM c ORDER BY doc_id
+"""
+
+QUERIES["token_packing"] = q_token_packing
+ORACLES["token_packing"] = ORACLE_TOKEN_PACKING
+
+
+# ---------------------------------------------------------------------------
 # Iterative k-means (Lloyd) over the embeddings table: _KMEANS_ITERS full
 # assign→update rounds, not just the single centroid step of
 # embedding_centroids. Everything is integer-exact (fixed-point features,

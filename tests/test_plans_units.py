@@ -76,6 +76,29 @@ def test_global_rank_matches_sorted_order(spark):
     assert [g[0] for g in got] == list(range(1, 5001))
 
 
+def test_global_cumsum_matches_python_prefix_sum(spark):
+    """global_cumsum's two-level (bucketed) exclusive prefix sum must match
+    a pure-Python running total across MANY buckets, with sparse/empty
+    buckets, zeros, and an unordered input."""
+    from crawler_spark.plans.ranking import global_cumsum
+
+    rng = random.Random(17)
+    keys = rng.sample(range(100000), 3000)  # sparse: most buckets missing
+    rows = [(k, rng.randrange(0, 50)) for k in keys]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+    got = {
+        r["k"]: r["cum"]
+        for r in global_cumsum(
+            df, "k", "v", "cum", bucket=F.expr("k div 1000")
+        ).collect()
+    }
+    total = 0
+    for k, v in sorted(rows):
+        assert got[k] == total, k
+        total += v
+
+
 def test_global_rank_start_offset(spark):
     df = spark.createDataFrame([(3,), (1,), (2,)], "v int")
     got = {r["v"]: r["rk"] for r in global_rank(df, ["v"], "rk", start=10).collect()}
