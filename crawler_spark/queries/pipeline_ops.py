@@ -2310,6 +2310,58 @@ ORACLES["token_packing"] = ORACLE_TOKEN_PACKING
 
 
 # ---------------------------------------------------------------------------
+# Hashed linear classifier scoring — the fastText-quality-filter shape
+# every pretraining pipeline runs: score(doc) = Σ_tokens w[hash(token)]
+# with a fixed hashed weight table (here the deterministic stand-in
+# w(h) = (h % 7) - 3 over the 60-bit md5 bucket, so the oracle recomputes
+# every weight; a trained model is the same plan with a broadcast lookup).
+# Row-local JVM HOFs end-to-end: ZERO shuffle, one WholeStageCodegen span
+# — at 100 TB this is a projection pushed over the scan, embarrassingly
+# parallel. Reference parity note: the reference has no classifier; this
+# is a training-data addendum op (task brief).
+# ---------------------------------------------------------------------------
+
+
+def q_classifier_score(spark, sf_dir):
+    d = _docs_tokens(spark, sf_dir)
+    weights = F.transform(
+        "tokens", lambda t: _hash60(t) % F.lit(7) - F.lit(3)
+    )
+    score = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    return (
+        d.select(
+            "doc_id",
+            score.alias("score"),
+            F.size("tokens").cast("int").alias("n_tokens"),
+        )
+        .withColumn(
+            "label", F.when(F.col("score") >= 0, F.lit("keep")).otherwise(F.lit("drop"))
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CLASSIFIER_SCORE = f"""
+    WITH t AS ({_TOKENS_SQL}),
+    s AS (
+      SELECT doc_id,
+             COALESCE(CAST(list_sum(list_transform(
+                 tokens, x -> {_hash60_sql('x')} % 7 - 3)) AS BIGINT), 0) AS score,
+             CAST(len(tokens) AS INT) AS n_tokens
+      FROM t
+    )
+    SELECT doc_id, score, n_tokens,
+           CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM s ORDER BY doc_id
+"""
+
+QUERIES["classifier_score"] = q_classifier_score
+ORACLES["classifier_score"] = ORACLE_CLASSIFIER_SCORE
+
+
+# ---------------------------------------------------------------------------
 # Iterative k-means (Lloyd) over the embeddings table: _KMEANS_ITERS full
 # assign→update rounds, not just the single centroid step of
 # embedding_centroids. Everything is integer-exact (fixed-point features,
