@@ -42,7 +42,7 @@ _FRONT = (
     # iterative Lloyd k-means):
     "media_decode_png", "media_decode_gif", "media_decode_wav",
     "media_resize_png", "media_frames_gif", "media_audio_features",
-    "kmeans_lloyd", "token_packing", "classifier_score",
+    "kmeans_lloyd", "token_packing", "classifier_score", "embedding_quantize",
     # engine/oracle touched in round 4 (subtree sharing, integer
     # floor-div, simhash hot-path rewrite):
     "dedup_minhash_lsh", "dedup_minhash_verify", "dedup_components",

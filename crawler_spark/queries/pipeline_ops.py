@@ -2362,6 +2362,97 @@ ORACLES["classifier_score"] = ORACLE_CLASSIFIER_SCORE
 
 
 # ---------------------------------------------------------------------------
+# Int8 scalar quantization of embeddings — the storage/ANN-serving compression
+# step (symmetric per-vector absmax scaling, the faiss SQ8 shape). All math in
+# exact integers over the micro-fixed-point domain fx = floor(x·1e6):
+# q_i = sign·(|fx_i|·127 div amax), reconstruction r_i = sign·(|q_i|·amax
+# div 127), per-vector L1 reconstruction error Σ|fx_i - r_i|. Division is
+# SIGN-SPLIT so Spark's `div` (truncate-toward-zero) and DuckDB's `//`
+# (floor) can never disagree on negative operands — both see non-negative
+# numerators. Row-local JVM HOFs: zero shuffle, scan-fused projection at
+# 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_quantize(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    d = (
+        e.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)"
+                " AS BIGINT))"
+            ).alias("fx"),
+        )
+        .withColumn("amax", F.expr("array_max(transform(fx, v -> abs(v)))"))
+        .withColumn(
+            "q",
+            F.expr(
+                "transform(fx, v -> CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(sign(v) AS BIGINT) * ((abs(v) * 127) div amax) END)"
+            ),
+        )
+        .withColumn(
+            "r",
+            F.expr(
+                "transform(q, v -> CAST(sign(v) AS BIGINT) * ((abs(v) * amax) div 127))"
+            ),
+        )
+    )
+    return d.select(
+        "vec_id",
+        F.col("amax").cast("long").alias("amax"),
+        F.expr(
+            "aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("q_sum"),
+        F.expr(
+            "aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+        ).alias("q_sq_sum"),
+        F.expr(
+            "aggregate(zip_with(fx, r, (a, b) -> abs(a - b)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("err_l1"),
+    ).orderBy("vec_id")
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+    WITH f AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fx
+      FROM embeddings
+    ), a AS (
+      SELECT vec_id, fx,
+             list_max(list_transform(fx, v -> abs(v))) AS amax
+      FROM f
+    ), qv AS (
+      SELECT vec_id, fx, amax,
+             list_transform(fx, v -> CASE
+                 WHEN amax = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1 ELSE 0 END
+                      * (abs(v) * 127 // amax) AS BIGINT) END) AS q
+      FROM a
+    ), rv AS (
+      SELECT vec_id, fx, amax, q,
+             list_transform(q, v ->
+                 CAST(CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1 ELSE 0 END
+                      * (abs(v) * amax // 127) AS BIGINT)) AS r
+      FROM qv
+    )
+    SELECT vec_id,
+           CAST(amax AS BIGINT) AS amax,
+           CAST(COALESCE(list_sum(q), 0) AS BIGINT) AS q_sum,
+           CAST(COALESCE(list_sum(list_transform(q, v -> v * v)), 0) AS BIGINT) AS q_sq_sum,
+           CAST(COALESCE(list_sum(list_transform(range(len(fx)),
+               i -> abs(fx[i + 1] - r[i + 1]))), 0) AS BIGINT) AS err_l1
+    FROM rv ORDER BY vec_id
+"""
+
+QUERIES["embedding_quantize"] = q_embedding_quantize
+ORACLES["embedding_quantize"] = ORACLE_EMBEDDING_QUANTIZE
+
+
+# ---------------------------------------------------------------------------
 # Iterative k-means (Lloyd) over the embeddings table: _KMEANS_ITERS full
 # assign→update rounds, not just the single centroid step of
 # embedding_centroids. Everything is integer-exact (fixed-point features,
