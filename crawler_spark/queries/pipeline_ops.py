@@ -2255,8 +2255,16 @@ _PACK_LEN = 2048
 def q_token_packing(spark, sf_dir):
     from crawler_spark.plans.ranking import global_cumsum
 
-    counts = q_token_count(spark, sf_dir).select(
-        "doc_id", F.col("n_bpe_tokens").alias("n_tok")
+    # same token rule as q_token_count, minus its output orderBy — reusing
+    # the ordered query put a full range-shuffle + sort in front of the
+    # bucket hash-exchange for nothing (seen in .explain)
+    counts = _docs_tokens(spark, sf_dir).select(
+        "doc_id",
+        F.aggregate(
+            F.transform("tokens", lambda t: F.ceil(F.length(t) / F.lit(4.0)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n_tok"),
     )
     out = (
         global_cumsum(
