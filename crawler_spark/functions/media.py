@@ -87,14 +87,23 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int]:
     """Decode a PNG: returns (width, height, bit_depth, color_type,
     pixel_sum) where pixel_sum is the sum of all raw 8-bit samples after
     unfiltering — a value that only a REAL decode (inflate + filter
-    reconstruction) can produce. Chunk CRCs are verified."""
-    w, h, depth, ctype, px = decode_png_pixels(payload)
-    return w, h, depth, ctype, sum(px)
+    reconstruction) can produce. Chunk CRCs are verified. Streams line by
+    line: the sum-only hot path (decode_media_batch) never materializes
+    the whole pixel buffer."""
+    w, h, depth, ctype, lines = _decode_png_lines(payload)
+    return w, h, depth, ctype, sum(sum(line) for line in lines)
 
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, int, bytes]:
     """Full PNG decode returning the reconstructed sample bytes
     (row-major, channels interleaved) — the input to real resize."""
+    w, h, depth, ctype, lines = _decode_png_lines(payload)
+    return w, h, depth, ctype, b"".join(bytes(line) for line in lines)
+
+
+def _decode_png_lines(payload: bytes):
+    """Shared chunk walk + inflate + per-line unfilter; returns
+    (w, h, depth, ctype, generator-of-reconstructed-lines)."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -124,34 +133,34 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, int, bytes]:
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")
-    prev = bytearray(stride)
-    pixels = bytearray()
-    off = 0
-    for _ in range(h):
-        ft = raw[off]
-        off += 1
-        line = bytearray(raw[off:off + stride])
-        off += stride
-        if ft == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"bad filter type {ft}")
-        pixels += line
-        prev = line
-    return w, h, depth, ctype, bytes(pixels)
+    def lines():
+        prev = bytearray(stride)
+        off = 0
+        for _ in range(h):
+            ft = raw[off]
+            line = bytearray(raw[off + 1:off + 1 + stride])
+            off += 1 + stride
+            if ft == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ft == 3:  # Average
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    c = prev[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"bad filter type {ft}")
+            yield line
+            prev = line
+
+    return w, h, depth, ctype, lines()
 
 
 def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
@@ -558,15 +567,16 @@ def encode_wav_pcm16(sample_rate: int, samples: list[int], channels: int = 1) ->
     )
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
-    if len(data) % 2:  # RIFF chunks are word-aligned
-        body += b"\x00"
+    # no pad byte: 16-bit samples make len(data) always even (the DECODER
+    # still honors pad bytes on foreign odd-size chunks)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
-    """(sample_rate, channels, bits, n_samples, sample_sum, sum_sq) via a
-    real RIFF chunk walk. n_samples counts per-channel frames × channels
-    (i.e. total s16 values), sums are over all values."""
+def _parse_wav(payload: bytes) -> tuple[int, int, int, tuple[int, ...]]:
+    """(sample_rate, channels, bits, samples) via a real RIFF chunk walk —
+    the single parse every WAV consumer shares. The FIRST data chunk is
+    the sample series (canonical WAVE layout; a second data chunk is
+    ignored consistently by count AND features)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
@@ -580,7 +590,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
             raise ValueError("truncated chunk")
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", chunk[:16])
-        elif cid == b"data":
+        elif cid == b"data" and data is None:
             data = chunk
         pos += 8 + size + (size % 2)  # pad byte on odd sizes
     if fmt is None or data is None:
@@ -589,24 +599,41 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
     if audio_format != 1 or bits != 16:
         raise ValueError("only 16-bit PCM supported")
     n = len(data) // 2
-    vals = struct.unpack(f"<{n}h", data[: n * 2])
+    return sample_rate, channels, bits, struct.unpack(f"<{n}h", data[: n * 2])
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """(sample_rate, channels, bits, n_samples, sample_sum, sum_sq).
+    n_samples counts per-channel frames × channels (i.e. total s16
+    values), sums are over all values."""
+    sample_rate, channels, bits, vals = _parse_wav(payload)
     return (
-        sample_rate, channels, bits, n,
+        sample_rate, channels, bits, len(vals),
         sum(vals), sum(v * v for v in vals),
     )
 
 
-def encode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas: (doc_id, sample_rate, n_samples) → (doc_id, payload)
-    with deterministic signed samples s(i) = ((doc_id*13 + i*17) % 65536)
-    - 32768 — the rule the DuckDB oracle recomputes, closing the loop."""
-    for pdf in batches:
-        rows = []
-        for doc_id, sr, n in zip(pdf["doc_id"], pdf["sample_rate"], pdf["n_samples"]):
-            doc_id, sr, n = int(doc_id), int(sr), int(n)
-            samples = [((doc_id * 13 + i * 17) % 65536) - 32768 for i in range(n)]
-            rows.append((doc_id, encode_wav_pcm16(sr, samples)))
-        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+def make_wav_encode_batch(step: int = 17):
+    """mapInPandas factory: (doc_id, sample_rate, n_samples) → (doc_id,
+    payload) with deterministic signed samples s(i) = ((doc_id*13 +
+    i*step) % 65536) - 32768 — the rule the DuckDB oracle recomputes,
+    closing the loop. `step` controls how fast the series wraps the s16
+    range (17 → near-monotone ramps; 7919 → frequent sign changes for
+    the feature query)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, sr, n in zip(pdf["doc_id"], pdf["sample_rate"], pdf["n_samples"]):
+                doc_id, sr, n = int(doc_id), int(sr), int(n)
+                samples = [((doc_id * 13 + i * step) % 65536) - 32768 for i in range(n)]
+                rows.append((doc_id, encode_wav_pcm16(sr, samples)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return encode
+
+
+encode_wav_batch = make_wav_encode_batch()
 
 
 def decode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -632,36 +659,17 @@ def audio_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            _sr, _ch, _bits, n, _ssum, _ssq = decode_wav(bytes(payload))
-            data = bytes(payload)
-            # re-parse samples via the decoder's chunk walk (decode_wav
-            # validated the layout; sums alone don't give us the series)
-            vals = _wav_samples(data)
+            _sr, _ch, _bits, vals = _parse_wav(bytes(payload))
             peak = max((abs(v) for v in vals), default=0)
             zc = sum(
                 1 for i in range(1, len(vals))
                 if (vals[i - 1] < 0) != (vals[i] < 0)
             )
             ac1 = sum(vals[i] * vals[i + 1] for i in range(len(vals) - 1))
-            rows.append((int(doc_id), n, peak, zc, ac1))
+            rows.append((int(doc_id), len(vals), peak, zc, ac1))
         yield pd.DataFrame(
             rows, columns=["doc_id", "n_samples", "peak_abs", "zero_crossings", "autocorr1"]
         )
-
-
-def _wav_samples(payload: bytes) -> tuple[int, ...]:
-    """The decoded PCM series of a RIFF/WAVE payload (chunk walk shared
-    with decode_wav's layout rules)."""
-    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
-    while pos + 8 <= min(end, len(payload)):
-        cid = payload[pos:pos + 4]
-        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
-        if cid == b"data":
-            data = payload[pos + 8:pos + 8 + size]
-            n = len(data) // 2
-            return struct.unpack(f"<{n}h", data[: n * 2])
-        pos += 8 + size + (size % 2)
-    raise ValueError("missing data chunk")
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
@@ -692,7 +700,7 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                     # width := per-channel frame count, height := channels
                     meta.append((len(b), n // max(ch, 1), ch, 1))
                     continue
-            except (ValueError, struct.error, zlib.error):
+            except (ValueError, struct.error, zlib.error, IndexError):
                 pass  # corrupt payload: stub metadata, same as unknown format
             meta.append(_fake_decode(b))
         out = pd.DataFrame(meta, columns=["n_bytes", "width", "height", "n_frames"])
@@ -715,7 +723,7 @@ def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     for f in range(0, len(sums), FRAME_STRIDE):
                         rows.append((doc_id, f, sums[f] % 997))
                     continue
-                except (ValueError, struct.error):
+                except (ValueError, struct.error, IndexError):
                     pass
             n, _w, _h, n_frames = _fake_decode(b)
             for idx in range(0, n_frames, 10):
@@ -737,7 +745,7 @@ def resize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                     out_w, out_h, psum, _resized = resize_png_nn(b)
                     rows.append((doc_id, out_w, out_h, psum % 100000))
                     continue
-                except (ValueError, struct.error, zlib.error):
+                except (ValueError, struct.error, zlib.error, IndexError):
                     pass
             n, in_w, in_h, _ = _fake_decode(b)
             big = max(in_w, in_h, 1)

@@ -48,12 +48,19 @@ def global_cumsum(
     """Append `out_col` = exclusive global running sum of `val_col` in
     `order_col` order (sum of all STRICTLY-PRECEDING rows' values).
 
+    Contract (same as global_rank's): `order_col` must be UNIQUE per row
+    and NON-NULL — ties make the intra-tie exclusive sums framing-order
+    dependent, and a NULL key (hence NULL bucket) would be silently
+    dropped by the inner offsets join rather than summed.
+
     Same two-level shape as global_rank's bucket path: `bucket` must be a
     Column MONOTONE in `order_col` ((k1 < k2) ⇒ (b1 <= b2)); intra-bucket
     prefix sums run as hash-partitioned windows, per-bucket totals get one
     tiny O(#buckets) cumulative window, offsets broadcast back. The corpus
     never passes through a single partition — the thing a naive
-    Window.orderBy over the whole table would do.
+    Window.orderBy over the whole table would do. (Kept separate from
+    global_rank: the rank path is crawl-hot-path-validated and its
+    count-based offsets don't share a numeric column with this one.)
     """
     if bucket is None:
         bucket = F.col(order_col)

@@ -2184,25 +2184,17 @@ ORACLES["media_frames_gif"] = ORACLE_MEDIA_FRAMES_GIF
 
 
 def q_media_audio_features(spark, sf_dir):
-    from crawler_spark.functions.media import audio_features_batch
-
-    import pandas as pd
-
-    from crawler_spark.functions.media import encode_wav_pcm16
-
-    def _encode(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, n in zip(pdf["doc_id"], pdf["n_samples"]):
-                doc_id, n = int(doc_id), int(n)
-                samples = [((doc_id * 13 + i * 7919) % 65536) - 32768 for i in range(n)]
-                rows.append((doc_id, encode_wav_pcm16(16000, samples)))
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+    from crawler_spark.functions.media import (
+        audio_features_batch,
+        make_wav_encode_batch,
+    )
 
     dims = _t(spark, sf_dir, "documents").select(
-        "doc_id", (F.col("doc_id") % 40 + 24).cast("int").alias("n_samples")
+        "doc_id",
+        F.lit(16000).cast("int").alias("sample_rate"),
+        (F.col("doc_id") % 40 + 24).cast("int").alias("n_samples"),
     )
-    wavs = dims.mapInPandas(_encode, "doc_id bigint, payload binary")
+    wavs = dims.mapInPandas(make_wav_encode_batch(7919), "doc_id bigint, payload binary")
     out = wavs.mapInPandas(
         audio_features_batch,
         "doc_id bigint, n_samples int, peak_abs int, zero_crossings int, autocorr1 bigint",

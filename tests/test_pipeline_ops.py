@@ -503,6 +503,38 @@ def test_media_dispatch_real_branches():
         {"doc_id": [1], "payload": [gif]})])))
     assert list(out2["frame_idx"]) == [0, 3]
     assert list(out2["feature_hash"]) == [36, 36]
+    # a TRUNCATED GIF (interrupted download) must fall back to the stub,
+    # not crash the task with an IndexError escaping the walker
+    out3 = next(sample_frames_batch(iter([pd.DataFrame(
+        {"doc_id": [1], "payload": [gif[:-3]]})])))
+    fake_n = len(gif[:-3]) % 30 + 1
+    assert list(out3["frame_idx"]) == list(range(0, fake_n, 10))  # stub path
+
+
+def test_wav_multi_data_chunk_consistency():
+    """A WAV with two data chunks: count AND features must come from the
+    same (first) chunk — decode_wav and audio_features_batch agree."""
+    import struct
+
+    import pandas as pd
+
+    from crawler_spark.functions.media import (
+        audio_features_batch,
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    a, b = [100, -100], [7, 8]
+    wav = encode_wav_pcm16(8000, a)
+    extra = b"data" + struct.pack("<I", 4) + struct.pack("<2h", *b)
+    doubled = wav + extra
+    doubled = b"RIFF" + struct.pack("<I", len(doubled) - 8) + doubled[8:]
+    assert decode_wav(doubled)[3:] == (2, 0, 20000)  # chunk A
+    out = next(audio_features_batch(iter([pd.DataFrame(
+        {"doc_id": [1], "payload": [doubled]})])))
+    r = out.iloc[0]
+    assert (r["n_samples"], r["peak_abs"], r["zero_crossings"], r["autocorr1"]) == (
+        2, 100, 1, -10000)  # same chunk A series
 
 
 def test_wav_codec_round_trip_real_pcm():
