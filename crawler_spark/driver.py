@@ -96,11 +96,25 @@ class CrawlRun:
         bloom_buckets: int = 32,
         distributed_bloom_merge: bool = False,
         http_fetch: bool = False,
+        seen_filter: str = "bloom",
     ):
         self.spark = spark
         self.config = config
         self.catalog = Catalog(state_dir)
-        bloom = BloomSidecar(os.path.join(state_dir, "_bloom"), n_buckets=bloom_buckets) if use_bloom else None
+        # north-rule "bloom/cuckoo URL-seen": either sidecar behind the
+        # same interface; the round plan and the merge/rollback sites are
+        # filter-agnostic. The choice must be stable across resume (like
+        # use_bloom itself — it's part of the run's configuration).
+        if not use_bloom:
+            bloom = None
+        elif seen_filter == "cuckoo":
+            from crawler_spark.cuckoo import CuckooSidecar
+
+            bloom = CuckooSidecar(os.path.join(state_dir, "_cuckoo"), n_buckets=bloom_buckets)
+        elif seen_filter == "bloom":
+            bloom = BloomSidecar(os.path.join(state_dir, "_bloom"), n_buckets=bloom_buckets)
+        else:
+            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
         # documents stays a plain parquet read: file-size stats keep
         # Catalyst from ever broadcasting it, and the fetch join streams it
         # via the broadcast semi-join reduction in fetch_and_branch (the
