@@ -29,6 +29,8 @@ from crawler_spark.queries import (
 # the remainder (green and unchanged in CORRECTNESS_r03.json) follows in
 # module order.
 _FRONT = (
+    # new in this round-4 session (never driver-checked):
+    "caption_pairs", "substring_dup_spans",
     # never driver-checked before round 4 (locally green via
     # tools/check_oracles.py):
     "decontaminate", "pagerank", "hits", "snapshot_delta", "passage_dedup",

@@ -737,3 +737,111 @@ QUERIES["recrawl_schedule"] = q_recrawl_schedule
 ORACLES["recrawl_schedule"] = ORACLE_RECRAWL_SCHEDULE
 QUERIES["reciprocal_links"] = q_reciprocal_links
 ORACLES["reciprocal_links"] = ORACLE_RECIPROCAL_LINKS
+
+
+# ---------------------------------------------------------------------------
+# substring_dup_spans: cross-document EXACT repeated-substring detection —
+# the filter-stage signal behind suffix-array substring dedup of training
+# corpora (Lee et al., "Deduplicating Training Data Makes Language Models
+# Better", ACL'22 — public paper; method re-expressed, no code). Instead
+# of a distributed suffix array, documents are fingerprinted by WINNOWING
+# (Schleimer/Wilkerson/Aiken, SIGMOD'03): over all width-24 character
+# grams, each window of 8 consecutive gram positions selects its
+# minimum-hash gram (tie -> leftmost). Selection depends only on CONTENT,
+# never on position parity, so two copies of a duplicated run always
+# select the same grams — the winnowing guarantee: any shared run of
+# >= W + S - 1 = 31 chars yields at least one shared fingerprint.
+# (A positional stride-8 lattice would be cheaper but has NO such
+# guarantee: the two copies can sit in different alignment classes and
+# share zero sampled grams.)
+#
+# Scale shape: fingerprint selection is ROW-LOCAL (HOFs over the gram
+# array — no shuffle, no window exchange; O(len*S) slice mins per doc,
+# the price of expressing a sliding min without a deque). Only selected
+# fingerprints (~2/(S+1) of positions) reach the single gram-keyed
+# shuffle, which partial-aggregates map-side. Docs shorter than 31 chars
+# have no full window and are out of contract (as in winnowing itself).
+# Gram hash is the md5-hex->bigint idiom so DuckDB reproduces selection
+# bit-exactly.
+# ---------------------------------------------------------------------------
+
+_SUB_W = 24  # gram width (chars)
+_SUB_S = 8   # winnow window (gram positions)
+
+
+def q_substring_dup_spans(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.length("text") >= _SUB_W + _SUB_S - 1)
+    # key = fixed-width hash-hex || '-' || fixed-width position: string min
+    # == (hash, position) lexicographic min, both engines
+    keyed = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"transform(sequence(0, CAST(length(text) - {_SUB_W} AS INT)), k -> "
+            f"concat(substring(md5(substring(text, k + 1, {_SUB_W})), 1, 15), '-', "
+            f"lpad(CAST(k AS STRING), 10, '0')))"
+        ).alias("keys"),
+    )
+    sel = keyed.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(0, CAST(length(text) - {_SUB_W} - {_SUB_S} + 1 AS INT)), "
+                f"w -> array_min(slice(keys, w + 1, {_SUB_S}))))"
+            )
+        ).alias("wkey"),
+    )
+    grams = sel.select(
+        "doc_id",
+        F.expr(
+            f"substring(text, CAST(substring(wkey, 17) AS INT) + 1, {_SUB_W})"
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("gram")
+    )
+
+
+ORACLE_SUBSTRING_DUP_SPANS = f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= {_SUB_W} + {_SUB_S} - 1
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.text, k.k AS k, length(d.text) AS len,
+             substr(md5(substr(d.text, CAST(k.k + 1 AS INT), {_SUB_W})), 1, 15)
+               || '-' || lpad(CAST(k.k AS VARCHAR), 10, '0') AS key
+      FROM d, LATERAL unnest(generate_series(0, length(d.text) - {_SUB_W})) AS k(k)
+    ),
+    wins AS (
+      SELECT doc_id, text, k AS w, len,
+             min(key) OVER (PARTITION BY doc_id ORDER BY k
+               ROWS BETWEEN CURRENT ROW AND {_SUB_S - 1} FOLLOWING) AS wkey
+      FROM keyed
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, text, wkey FROM wins
+      WHERE w <= len - {_SUB_W} - {_SUB_S} + 1
+    ),
+    grams AS (
+      SELECT doc_id,
+             substr(text, CAST(substr(wkey, 17) AS BIGINT) + 1, {_SUB_W}) AS gram
+      FROM sel
+    )
+    SELECT gram,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM grams GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY gram
+"""
+
+QUERIES["substring_dup_spans"] = q_substring_dup_spans
+ORACLES["substring_dup_spans"] = ORACLE_SUBSTRING_DUP_SPANS

@@ -975,3 +975,118 @@ ORACLE_SPAN_STATS = """
 
 QUERIES["span_stats"] = q_span_stats
 ORACLES["span_stats"] = ORACLE_SPAN_STATS
+
+
+# ---------------------------------------------------------------------------
+# caption_pairs: caption assignment over interleaved text/media spans —
+# the input_hint's array<struct<kind,text,media_ref,offset>> shape. Each
+# media span is paired with the NEAREST text span by offset (tie -> the
+# preceding one); media with no text span in the document gets a NULL
+# caption. This is the multimodal-training join that turns an interleaved
+# crawl document into (image, caption) rows.
+#
+# Scale shape: one explode + two frame-bounded window passes partitioned
+# by doc_id — no self-join of the span table, no shuffle beyond the
+# per-document window exchange; spans of one document never cross
+# partitions twice. The span synth here flips kind parity with doc_id so
+# odd docs START with media, exercising the no-preceding-text branch.
+# ---------------------------------------------------------------------------
+
+_SPAN_SYNTH_PARITY = (
+    "transform(sequence(0, CAST(doc_id % 5 AS INT)), i -> "
+    "CASE WHEN (i + doc_id) % 2 = 0 THEN named_struct("
+    "'kind', 'text', 'text', substring(text, i * 7 + 1, 7), "
+    "'media_ref', CAST(NULL AS STRING), 'offset', i) "
+    "ELSE named_struct("
+    "'kind', 'media', 'text', CAST(NULL AS STRING), "
+    "'media_ref', concat('/m', CAST(doc_id AS STRING), '_', CAST(i AS STRING)), "
+    "'offset', i) END)"
+)
+
+
+def q_caption_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    rows = (
+        d.select("doc_id", F.explode(F.expr(_SPAN_SYNTH_PARITY)).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+    )
+    txt = F.when(F.col("kind") == "text", F.col("text"))
+    toff = F.when(F.col("kind") == "text", F.col("offset"))
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("doc_id").orderBy("offset")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    cand = rows.select(
+        "doc_id", "kind", "media_ref", "offset",
+        F.last(txt, ignorenulls=True).over(w_prev).alias("prev_text"),
+        F.last(toff, ignorenulls=True).over(w_prev).alias("prev_off"),
+        F.first(txt, ignorenulls=True).over(w_next).alias("next_text"),
+        F.first(toff, ignorenulls=True).over(w_next).alias("next_off"),
+    ).where(F.col("kind") == "media")
+    take_prev = F.col("prev_off").isNotNull() & (
+        F.col("next_off").isNull()
+        | ((F.col("offset") - F.col("prev_off")) <= (F.col("next_off") - F.col("offset")))
+    )
+    return cand.select(
+        "doc_id",
+        "media_ref",
+        F.col("offset").cast("int").alias("media_offset"),
+        F.when(take_prev, F.col("prev_text")).otherwise(F.col("next_text")).alias("caption"),
+        F.when(take_prev, F.col("prev_off"))
+        .otherwise(F.coalesce(F.col("next_off"), F.lit(-1)))
+        .cast("int")
+        .alias("caption_offset"),
+    ).orderBy("doc_id", "media_offset")
+
+
+ORACLE_CAPTION_PAIRS = """
+    WITH s AS (
+      SELECT d.doc_id, g.i,
+             CASE WHEN (g.i + d.doc_id) % 2 = 0 THEN 'text' ELSE 'media' END AS kind,
+             CASE WHEN (g.i + d.doc_id) % 2 = 0
+                  THEN substr(d.text, CAST(g.i * 7 + 1 AS INT), 7) END AS tpart,
+             CASE WHEN (g.i + d.doc_id) % 2 = 1
+                  THEN concat('/m', CAST(d.doc_id AS VARCHAR), '_', CAST(g.i AS VARCHAR))
+             END AS media_ref
+      FROM documents d,
+           LATERAL unnest(generate_series(0, d.doc_id % 5)) AS g(i)
+    ),
+    w AS (
+      SELECT doc_id, i, kind, media_ref,
+        last_value(tpart IGNORE NULLS) OVER (
+          PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_text,
+        last_value(CASE WHEN kind = 'text' THEN i END IGNORE NULLS) OVER (
+          PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_off,
+        first_value(tpart IGNORE NULLS) OVER (
+          PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_text,
+        first_value(CASE WHEN kind = 'text' THEN i END IGNORE NULLS) OVER (
+          PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_off
+      FROM s
+    )
+    SELECT doc_id, media_ref, CAST(i AS INT) AS media_offset,
+           CASE WHEN prev_off IS NOT NULL
+                     AND (next_off IS NULL OR (i - prev_off) <= (next_off - i))
+                THEN prev_text ELSE next_text END AS caption,
+           CAST(CASE WHEN prev_off IS NOT NULL
+                          AND (next_off IS NULL OR (i - prev_off) <= (next_off - i))
+                     THEN prev_off ELSE coalesce(next_off, -1) END AS INT)
+             AS caption_offset
+    FROM w WHERE kind = 'media' ORDER BY doc_id, media_offset
+"""
+
+QUERIES["caption_pairs"] = q_caption_pairs
+ORACLES["caption_pairs"] = ORACLE_CAPTION_PAIRS

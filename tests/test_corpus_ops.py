@@ -347,3 +347,100 @@ def test_dedup_keep_best_picks_max_quality_member(spark):
     )
     got = [tuple(r) for r in q_dedup_keep_best(spark, SF).collect()]
     assert got == expected
+
+
+def test_winnowing_guarantee_on_planted_duplicate_run(spark):
+    """The winnowing property substring_dup_spans relies on: two documents
+    sharing a run of >= W + S - 1 chars ALWAYS share a selected
+    fingerprint gram, at ANY alignment of the run inside either document
+    (the failure mode of positional stride sampling). Pure-Python
+    winnowing replica + the Spark op over planted docs."""
+    import pandas as pd
+
+    from crawler_spark.queries.corpus_ops import _SUB_S, _SUB_W, q_substring_dup_spans
+
+    run = "The quick brown fox jumps over the lazy dog near the riverbank"  # 63 chars
+    assert len(run) >= _SUB_W + _SUB_S - 1
+    docs = []
+    # embed the SAME run at deliberately different offsets (all 8
+    # alignment classes) inside otherwise-unique filler
+    for i in range(8):
+        filler = f"unique filler {i} " * 3
+        docs.append((i, filler[: 30 + i] + run + f" tail {i} tail tail"))
+    docs.append((100, "a completely unrelated document with no repeats at all here"))
+
+    def winnow(text):
+        n = len(text) - _SUB_W
+        keys = [
+            hashlib.md5(text[k : k + _SUB_W].encode()).hexdigest()[:15] + "-" + str(k).zfill(10)
+            for k in range(n + 1)
+        ]
+        sel = {min(keys[w : w + _SUB_S]) for w in range(n - _SUB_S + 2)}
+        return {text[int(k[16:]) : int(k[16:]) + _SUB_W] for k in sel}
+
+    # pure-python guarantee check: every pair of run-carrying docs shares
+    # a fingerprint gram
+    fps = {i: winnow(t) for i, t in docs}
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert fps[i] & fps[j], f"docs {i},{j} share no fingerprint"
+
+    # the Spark op agrees: some reported dup gram is a substring of the run,
+    # covering every doc pair through the gram table
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pdf = pd.DataFrame(
+            {"doc_id": [d for d, _ in docs], "text": [t for _, t in docs],
+             "lang": "en", "source": "s", "n_chars": [len(t) for _, t in docs]}
+        )
+        pdf.to_parquet(os.path.join(td, "documents.parquet"))
+        out = q_substring_dup_spans(spark, td).collect()
+    assert out, "planted duplicates produced no dup grams"
+    assert all(r["n_docs"] >= 2 for r in out)
+    assert any(r["gram"] in run for r in out)
+    # the unrelated doc never appears: total distinct docs across grams <= 8
+    assert max(r["n_docs"] for r in out) <= 8
+
+
+def test_caption_pairs_nearest_and_tie_semantics(spark):
+    """Caption assignment vs a brute-force replica over the synthesized
+    spans: nearest text span by offset, tie -> preceding, no-text -> NULL
+    caption with offset -1. Also pins that odd doc_ids exercise the
+    media-first (no preceding text) branch."""
+    from crawler_spark.queries.crawl_ops import q_caption_pairs
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' ORDER BY doc_id LIMIT 400"
+    ).fetchall()
+    expect = {}
+    saw_media_first = False
+    for doc_id, text in rows:
+        spans = []
+        for i in range(doc_id % 5 + 1):
+            if (i + doc_id) % 2 == 0:
+                spans.append(("text", text[i * 7 : i * 7 + 7], None, i))
+            else:
+                spans.append(("media", None, f"/m{doc_id}_{i}", i))
+        texts = [(off, t) for k, t, _, off in spans if k == "text"]
+        for k, _, ref, off in spans:
+            if k != "media":
+                continue
+            if off == 0:
+                saw_media_first = True
+            prev = [(o, t) for o, t in texts if o < off]
+            nxt = [(o, t) for o, t in texts if o > off]
+            if prev and (not nxt or off - prev[-1][0] <= nxt[0][0] - off):
+                expect[(doc_id, ref)] = (prev[-1][1], prev[-1][0])
+            elif nxt:
+                expect[(doc_id, ref)] = (nxt[0][1], nxt[0][0])
+            else:
+                expect[(doc_id, ref)] = (None, -1)
+    assert saw_media_first
+    got = {
+        (r["doc_id"], r["media_ref"]): (r["caption"], r["caption_offset"])
+        for r in q_caption_pairs(spark, SF).collect()
+        if r["doc_id"] in {d for d, _ in rows}
+    }
+    assert got == expect
