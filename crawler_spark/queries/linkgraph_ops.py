@@ -360,3 +360,108 @@ ORACLES = {
     "politeness_audit": ORACLE_POLITENESS_AUDIT,
     "inverted_index": ORACLE_INVERTED_INDEX,
 }
+
+
+# ---------------------------------------------------------------------------
+# distinct_sketch: per-host distinct-URL cardinality via a KMV (k minimum
+# values) sketch — the frontier-size / per-host-inventory estimator a
+# crawler scheduler consults without counting exactly (Bar-Yossef et al.,
+# "Counting distinct elements in a data stream", RANDOM'02 — public
+# method). KMV over the md5-hex->bigint 60-bit hash is fully
+# DETERMINISTIC, so unlike HLL both engines reproduce the sketch and the
+# estimate bit-exactly; that's why KMV gates here while production would
+# as happily use Spark's native approx_count_distinct.
+#
+# estimate = (K-1) / kth_min_normalized. To stay inside int64 the
+# division runs first: est = (2^60 div kth) * (K-1) — same integer ops
+# both engines, deterministic parity preserved (slightly coarser than
+# the real-valued estimator; the oracle computes the identical value).
+# Hosts with fewer than K distinct hashes report their exact count.
+# (K=32, host%4 chosen so the estimator branch fires at every test sf.)
+#
+# Scale shape: dedup + ONE host-keyed exchange; the row_number window
+# keeps only K rows per host before the final agg. (At 100 TB the sketch
+# is mergeable: per-partition partial min-K then merge — the window
+# formulation here is the small-cluster equivalent with the same
+# output.) n_exact rides along to make estimator error visible.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+_KMV_DOMAIN = 1 << 60
+
+
+def q_distinct_sketch(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # part-keyed dst pages: many lineitems share a part -> real duplicates
+    urls = li.select(
+        (F.col("l_partkey") % 4).cast("long").alias("host"),
+        F.concat(F.lit("/p"), F.col("l_partkey").cast("string")).alias("path"),
+    )
+    hashed = urls.select(
+        "host",
+        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).dropDuplicates(["host", "h"])
+    w = Window.partitionBy("host").orderBy("h")
+    mink = (
+        hashed.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _KMV_K)
+        .groupBy("host")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("k_eff"))
+    )
+    exact = hashed.groupBy("host").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        mink.join(exact, "host")
+        .select(
+            "host",
+            "n_exact",
+            "k_eff",
+            "kth",
+            F.when(F.col("k_eff") < _KMV_K, F.col("k_eff"))
+            .otherwise(
+                F.expr(f"({_KMV_DOMAIN}L div kth) * {_KMV_K - 1}")
+            )
+            .cast("long")
+            .alias("est"),
+        )
+        .orderBy("host")
+    )
+
+
+ORACLE_DISTINCT_SKETCH = f"""
+    WITH urls AS (
+      SELECT CAST(l_partkey % 4 AS BIGINT) AS host,
+             concat('/p', CAST(l_partkey AS VARCHAR)) AS path
+      FROM lineitem
+    ),
+    hashed AS (
+      SELECT DISTINCT host,
+             ('0x' || substr(md5(path), 1, 15))::BIGINT AS h
+      FROM urls
+    ),
+    ranked AS (
+      SELECT host, h,
+             row_number() OVER (PARTITION BY host ORDER BY h) AS r
+      FROM hashed
+    ),
+    mink AS (
+      SELECT host, max(h) AS kth, count(*) AS k_eff
+      FROM ranked WHERE r <= {_KMV_K} GROUP BY host
+    ),
+    exact AS (
+      SELECT host, count(*) AS n_exact FROM hashed GROUP BY host
+    )
+    SELECT m.host,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(m.k_eff AS BIGINT) AS k_eff,
+           m.kth,
+           CAST(CASE WHEN m.k_eff < {_KMV_K} THEN m.k_eff
+                ELSE ({_KMV_DOMAIN} // m.kth) * {_KMV_K - 1} END AS BIGINT)
+             AS est
+    FROM mink m JOIN exact e ON e.host = m.host
+    ORDER BY m.host
+"""
+
+QUERIES["distinct_sketch"] = q_distinct_sketch
+ORACLES["distinct_sketch"] = ORACLE_DISTINCT_SKETCH

@@ -126,3 +126,37 @@ def test_anchor_text_top_anchor_ties_break_lexicographically(spark):
     got = {r["dst"]: (r["n_links"], r["n_src_hosts"], r["top_anchor"],
                       r["top_anchor_count"]) for r in rows}
     assert got == expect
+
+
+def test_distinct_sketch_estimator_properties(spark):
+    """KMV semantics: hosts under K distinct hashes report exactly; hosts
+    over K estimate within KMV's expected error envelope (~1/sqrt(K));
+    and the sketch is MERGEABLE — min-K of a union equals min-K over the
+    parts' min-Ks (the property that makes it a distributed sketch)."""
+    import hashlib
+    import random
+
+    from crawler_spark.queries.linkgraph_ops import _KMV_K, q_distinct_sketch
+
+    rows = q_distinct_sketch(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    saw_big = False
+    for r in rows:
+        if r["k_eff"] < _KMV_K:
+            assert r["est"] == r["n_exact"] == r["k_eff"]
+        else:
+            saw_big = True
+            assert abs(r["est"] - r["n_exact"]) <= 0.5 * r["n_exact"], (
+                r["host"], r["est"], r["n_exact"])
+    assert saw_big, "no host exceeded K distinct URLs — estimator untested"
+
+    # mergeability, pure python: union-of-parts min-K == min-K of whole
+    rng = random.Random(5)
+    vals = [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            for i in range(5000)]
+    rng.shuffle(vals)
+    parts = [vals[:2000], vals[2000:]]
+    part_minks = [sorted(set(p))[:_KMV_K] for p in parts]
+    merged_mink = sorted(set(part_minks[0]) | set(part_minks[1]))[:_KMV_K]
+    whole_mink = sorted(set(vals))[:_KMV_K]
+    assert merged_mink == whole_mink
