@@ -768,3 +768,32 @@ def extract_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
             n = len(bytes(payload))
             rows.append((doc_id, [(n * 31 + i * 17) % 1000 for i in range(FEATURE_DIM)]))
         yield pd.DataFrame(rows, columns=["doc_id", "feature_milli"])
+
+
+def ahash_png(payload: bytes) -> tuple[int, int]:
+    """Perceptual average-hash over a REAL grayscale PNG decode: sample an
+    8x8 nearest-neighbor grid (y = (r*h)//8, x = (c*w)//8 — the same
+    integer grid rule as resize_png_nn), threshold each sample against
+    the integer mean (sum//64, >= is a set bit), and pack the 64 bits as
+    two bigints (bits 0-31 -> hi word, 32-63 -> lo word) so the value
+    stays signed-int64-safe in Spark AND the SQL oracle. Integer-only,
+    so identical pixels always produce identical hashes."""
+    w, h, _depth, ctype, px = decode_png_pixels(payload)
+    if ctype != 0:
+        raise ValueError("ahash supports grayscale PNGs")
+    samples = [px[((r * h) // 8) * w + ((c * w) // 8)] for r in range(8) for c in range(8)]
+    mean = sum(samples) // 64
+    hi = sum((1 << k) for k in range(32) if samples[k] >= mean)
+    lo = sum((1 << k) for k in range(32) if samples[k + 32] >= mean)
+    return hi, lo
+
+
+def ahash_png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas over (doc_id, payload) → (doc_id, ahash_hi, ahash_lo)
+    via the real decode + average-hash."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            hi, lo = ahash_png(bytes(payload))
+            rows.append((int(doc_id), hi, lo))
+        yield pd.DataFrame(rows, columns=["doc_id", "ahash_hi", "ahash_lo"])

@@ -2548,3 +2548,92 @@ ORACLE_KMEANS_LLOYD = _kmeans_oracle()
 
 QUERIES["kmeans_lloyd"] = q_kmeans_lloyd
 ORACLES["kmeans_lloyd"] = ORACLE_KMEANS_LLOYD
+
+
+# ---------------------------------------------------------------------------
+# media_dedup_ahash: IMAGE near-duplicate grouping by perceptual average
+# hash over the REAL PNG decode path — the multimodal twin of exact text
+# dedup. Stage 1 synthesizes one genuine PNG per TEMPLATE (tid = doc_id %
+# 37; ~40 docs share each template at sf0.001, the planted duplicates);
+# stage 2 broadcast-joins payloads back to docs (37 rows — a true small
+# dim) and aHashes EVERY doc's image through the real inflate+unfilter
+# decode; stage 3 groups by the 64-bit hash (packed as two int32-safe
+# words). The oracle recomputes the 8x8 grid, integer mean, and bit
+# packing in closed form from the pixel rule — green means the real
+# decode + hash pipeline reproduced it bit-exactly.
+#
+# Scale shape: per-image work is row-local Arrow-batched Python (the
+# unavoidable codec boundary, same as the other media ops); the dedup
+# itself is ONE shuffle on the hash with map-side combine. At 100 TB
+# aHash buckets near-identical images without any pair join — the
+# hamming-radius>0 variant would band the two words like simhash.
+# ---------------------------------------------------------------------------
+
+
+def q_media_dedup_ahash(spark, sf_dir):
+    from crawler_spark.functions.media import ahash_png_batch, encode_png_batch
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 37).alias("tid")
+    )
+    templates = (
+        docs.select(F.col("tid").alias("doc_id"))
+        .distinct()
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 13 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 11 + 16).cast("int").alias("height"),
+        )
+        .mapInPandas(encode_png_batch, "doc_id bigint, payload binary")
+        .select(F.col("doc_id").alias("tid"), "payload")
+    )
+    imgs = docs.join(F.broadcast(templates), "tid").select("doc_id", "payload")
+    hashed = imgs.mapInPandas(
+        ahash_png_batch, "doc_id bigint, ahash_hi bigint, ahash_lo bigint"
+    )
+    return (
+        hashed.groupBy("ahash_hi", "ahash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .orderBy("ahash_hi", "ahash_lo")
+    )
+
+
+ORACLE_MEDIA_DEDUP_AHASH = """
+    WITH dims AS (
+      SELECT doc_id, doc_id % 37 AS tid,
+             (doc_id % 37) % 13 + 16 AS w,
+             (doc_id % 37) % 11 + 16 AS h
+      FROM documents
+    ),
+    samp AS (
+      SELECT doc_id,
+             list_transform(range(64), k ->
+               (tid * 31
+                + ((((k // 8) * h) // 8) * w + ((k % 8) * w) // 8) * 7
+               ) % 256) AS s
+      FROM dims
+    ),
+    m AS (
+      SELECT doc_id, s, list_sum(s) // 64 AS mean FROM samp
+    ),
+    bits AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(32), k ->
+               CASE WHEN s[CAST(k + 1 AS INT)] >= mean
+                    THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS hi,
+             list_sum(list_transform(range(32), k ->
+               CASE WHEN s[CAST(k + 33 AS INT)] >= mean
+                    THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS lo
+      FROM m
+    )
+    SELECT CAST(hi AS BIGINT) AS ahash_hi, CAST(lo AS BIGINT) AS ahash_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS canonical_id
+    FROM bits GROUP BY hi, lo ORDER BY ahash_hi, ahash_lo
+"""
+
+QUERIES["media_dedup_ahash"] = q_media_dedup_ahash
+ORACLES["media_dedup_ahash"] = ORACLE_MEDIA_DEDUP_AHASH

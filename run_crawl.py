@@ -23,6 +23,8 @@ Config JSON:
       per_host_budget seconds)
   "warc_out": ".../warc",                     (S8/S11: -wf, optional export)
   "http_fetch": false,                        (S9 real path: real sockets)
+  "seen_filter": "bloom",                     (D1 sidecar: "bloom" | "cuckoo";
+      cuckoo supports recrawl deletion — see crawler_spark/cuckoo.py)
   "proxy": "addr:port",                       (S6: -p; real path only)
   "ignore_bad_https_certs": false             (Settings.hs:14-15; the
       reference hardcodes True — set true explicitly for parity; the CLI
@@ -100,6 +102,7 @@ def main() -> None:
     run = CrawlRun(
         spark, cfg, conf["state_dir"], documents, redirects, robots,
         directions=directions, form_instructions=forms, http_fetch=http_fetch,
+        seen_filter=str(conf.get("seen_filter", "bloom")),
     )
     if conf.get("resume"):
         r = run.resume()

@@ -750,3 +750,25 @@ def test_event_dedup_windowed_matches_pure_python(spark):
     got = [tuple(r) for r in q_event_dedup_windowed(spark, SF).collect()]
     assert got == expected
     assert any(r[4] > 0 for r in expected)  # duplicates actually absorbed
+
+
+def test_ahash_png_properties():
+    """aHash over the real codec: identical pixels → identical hash
+    regardless of dimensions-equal re-encodes; a large bright region vs
+    dark region flips the corresponding grid bits; hash words stay in
+    unsigned-32 range (signed-int64-safe on both engines)."""
+    from crawler_spark.functions.media import ahash_png, encode_png_gray
+
+    w, h = 20, 18
+    px = bytes((i * 7 + 3) % 256 for i in range(w * h))
+    h1 = ahash_png(encode_png_gray(w, h, px))
+    h2 = ahash_png(encode_png_gray(w, h, px))
+    assert h1 == h2
+    for word in h1:
+        assert 0 <= word < (1 << 32)
+
+    # half-bright / half-dark: top rows >= mean (bits set), bottom clear
+    split = bytes([200] * (w * (h // 2)) + [10] * (w * (h - h // 2)))
+    hi, lo = ahash_png(encode_png_gray(w, h, split))
+    assert hi == 0xFFFFFFFF  # grid rows 0-3 sample y in {0,2,4,6}: bright
+    assert lo == 0  # rows 4-7 sample y in {9,11,13,15}: dark half
