@@ -15,20 +15,22 @@ Bit positions derive ONLY from the JVM-computed xxhash64 (splitmix64
 remix, k double-hashed probes) — Python never re-hashes URL strings, so
 JVM and sidecar always agree.
 
-Versioning: one manifest per committed round (bucket → bitmap file);
-resume rolls back to the manifest of the checkpoint round. Bitmaps are
-written once per round per touched bucket (copy-on-write, like an Iceberg
-rewrite of a small metadata file).
+Versioning (shared scheme, sidecar.FilterSidecar): one manifest per
+committed round (bucket → bitmap file); resume rolls back to the
+manifest of the checkpoint round. Bitmaps are written once per round per
+touched bucket (copy-on-write, like an Iceberg rewrite of a small
+metadata file).
 """
 
 from __future__ import annotations
 
-import json
 import os
 import uuid
 
 import numpy as np
 import pandas as pd
+
+from crawler_spark.sidecar import FilterSidecar
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -47,48 +49,13 @@ def _probes(url_hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
 
 
-class BloomSidecar:
+class BloomSidecar(FilterSidecar):
+    FILES_SUBDIR = "bitmaps"
+
     def __init__(self, root: str, n_buckets: int = 32, bits_per_bucket: int = 1 << 20, k: int = 7):
-        # power of two keeps signed pmod (JVM-side bucketing in the
-        # distributed merge) and the uint64 modulo used everywhere else
-        # assigning the SAME bucket to every hash
-        if n_buckets & (n_buckets - 1):
-            raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
-        self.root = root
-        self.n_buckets = n_buckets
+        super().__init__(root, n_buckets)
         self.m_bits = bits_per_bucket
         self.k = k
-        os.makedirs(os.path.join(root, "bitmaps"), exist_ok=True)
-        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
-
-    # -- manifests ----------------------------------------------------------
-    def _manifest_path(self, round_: int) -> str:
-        return os.path.join(self.root, "manifests", f"r{round_}.json")
-
-    def latest_round(self) -> int:
-        rounds = [
-            int(f[1:-5])
-            for f in os.listdir(os.path.join(self.root, "manifests"))
-            if f.startswith("r") and f.endswith(".json")
-        ]
-        return max(rounds, default=-1)
-
-    def manifest(self, round_: int | None = None) -> dict[str, str]:
-        r = self.latest_round() if round_ is None else round_
-        if r < 0:
-            return {}
-        # walk back to the newest manifest ≤ r (rounds with no merge skip)
-        while r >= 0 and not os.path.exists(self._manifest_path(r)):
-            r -= 1
-        if r < 0:
-            return {}
-        with open(self._manifest_path(r)) as f:
-            return json.load(f)
-
-    def rollback_to_round(self, round_: int) -> None:
-        for f in os.listdir(os.path.join(self.root, "manifests")):
-            if f.startswith("r") and f.endswith(".json") and int(f[1:-5]) > round_:
-                os.remove(os.path.join(self.root, "manifests", f))
 
     # -- bitmap io ----------------------------------------------------------
     # worker-lifetime cache: executors consult the same bucket bitmaps for
@@ -112,9 +79,10 @@ class BloomSidecar:
     # -- merge (per round, after D4) ----------------------------------------
     def merge_hashes(self, url_hashes: np.ndarray, round_: int) -> None:
         """OR the given xxhash64 values into their buckets; write a new
-        manifest for `round_`. Driver-side here; at cluster scale this runs
-        as applyInPandas per bucket writing to shared storage (same files,
-        same format) — the per-bucket work is identical."""
+        manifest for `round_`. Driver-side here; the executor-side path
+        (FilterSidecar.merge_dir_distributed + _bucket_merger) produces
+        byte-identical files — OR is order-free and the probe positions
+        depend only on the hashes."""
         manifest = dict(self.manifest())
         if len(url_hashes):
             h = np.asarray(url_hashes, dtype=np.int64)
@@ -126,44 +94,10 @@ class BloomSidecar:
                 path = os.path.join(self.root, "bitmaps", f"b{int(b)}_r{round_}.npy")
                 bm.tofile(path)
                 manifest[str(int(b))] = path
-        with open(self._manifest_path(round_), "w") as f:
-            json.dump(manifest, f)
+        self._write_manifest(manifest, round_)
 
-    def merge_dir(self, snapshot_dir: str, round_: int) -> None:
-        """Merge the url_hash column of one staged/committed snapshot dir
-        (the round's url_seen delta) — parquet footers only list the delta,
-        so the per-round merge cost is O(new URLs), never O(table)."""
-        import pyarrow.parquet as pq
-
-        files = [
-            os.path.join(snapshot_dir, f)
-            for f in os.listdir(snapshot_dir)
-            if f.endswith(".parquet")
-        ]
-        if files:
-            cols = [pq.read_table(f, columns=["url_hash"])["url_hash"] for f in files]
-            hashes = np.concatenate([c.to_numpy(zero_copy_only=False) for c in cols])
-        else:
-            hashes = np.array([], dtype=np.int64)
-        self.merge_hashes(hashes.astype(np.int64), round_)
-
-    def merge_dir_distributed(self, spark, snapshot_dir: str, round_: int) -> None:
-        """Cluster-path merge: the round's url_seen delta is grouped by
-        bloom bucket and each bucket's bitmap is rebuilt EXECUTOR-side via
-        applyInPandas (read prior bitmap from shared storage, OR the
-        bucket's new probes, write the new copy-on-write file); the driver
-        only collects the (bucket, path) rows — one per touched bucket —
-        and commits the manifest. Byte-identical output to the
-        driver-side `merge_dir` (OR is order-free and the probe positions
-        depend only on the hashes), so the two paths are interchangeable
-        per round. Requires storage shared between driver and executors
-        (local FS here; object store / DFS on a cluster)."""
-        import pandas as pd
-        from pyspark.sql import functions as F
-
-        manifest = dict(self.manifest())
+    def _bucket_merger(self, prior: dict[int, str], round_: int):
         root, k, m_bits = self.root, self.k, self.m_bits
-        prior = {int(b): p for b, p in manifest.items()}
 
         def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             b = int(pdf["bucket"].iloc[0])
@@ -186,23 +120,7 @@ class BloomSidecar:
             os.replace(tmp, out)
             return pd.DataFrame([{"bucket": b, "path": out}])
 
-        delta = (
-            spark.read.parquet(snapshot_dir)
-            .select("url_hash")
-            .withColumn(
-                "bucket",
-                F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int"),
-            )
-        )
-        rows = (
-            delta.groupBy("bucket")
-            .applyInPandas(merge_bucket, "bucket int, path string")
-            .collect()
-        )
-        for r in rows:
-            manifest[str(r["bucket"])] = r["path"]
-        with open(self._manifest_path(round_), "w") as f:
-            json.dump(manifest, f)
+        return merge_bucket
 
     # -- query (the pre-filter) ---------------------------------------------
     def maybe_seen(self, url_hashes: pd.Series, manifest: dict[str, str]) -> pd.Series:

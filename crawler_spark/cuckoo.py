@@ -25,7 +25,17 @@ Exactness contract (same as bloom): false positives fall through to the
 exact anti-join; false negatives are impossible — an insert whose
 eviction chain exceeds the kick budget lands the displaced fingerprint
 in a per-partition STASH that `maybe_seen` also consults, so every
-committed url_seen row is always findable.
+committed url_seen row is always findable. Inserts use MULTISET
+semantics (one stored copy per insert) so deletion stays collision-safe.
+
+Sizing: each partition holds entries_per_bucket x 4 fingerprint slots;
+keep expected distinct URLs per partition under ~0.84 of that (the b=4
+cuckoo load ceiling) — beyond it, inserts fall to the stash, which
+preserves exactness but degrades maybe_seen toward O(|stash|) per probe.
+At 10^10 URLs: n_buckets=4096, entries_per_bucket=2^20 gives 1.7e10
+slots (~1.4e10 at the load ceiling) at 2 bytes each — 8 MB per
+partition file, 34 GB total across the cluster's shared storage. Both
+knobs are CrawlRun/run_crawl-configurable.
 
 Determinism contract: the driver-side and executor-side
 (applyInPandas-per-partition) merges must produce byte-identical files.
@@ -39,7 +49,6 @@ All index/fingerprint math derives ONLY from the JVM-computed xxhash64
 
 from __future__ import annotations
 
-import json
 import os
 import uuid
 
@@ -47,6 +56,7 @@ import numpy as np
 import pandas as pd
 
 from crawler_spark.bloom import _splitmix64
+from crawler_spark.sidecar import FilterSidecar
 
 _U64 = np.uint64
 _MASK16 = np.uint64(0xFFFF)
@@ -70,6 +80,19 @@ def _derive(url_hashes: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray, np.
 def _alt_index(i: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
     spread = _splitmix64(fp.astype(np.uint16).view(np.uint16).astype(_U64))
     return (i.astype(np.int64) ^ (spread & _U64(m - 1)).astype(np.int64)) & (m - 1)
+
+
+_SPREAD: list[int] | None = None
+
+
+def _spread_table() -> list[int]:
+    """fp -> splitmix64(fp) for all 2^16 fingerprints, as plain ints —
+    built once per process so the insertion loop never allocates numpy
+    scalars per kick. Identical values to _alt_index's vectorized path."""
+    global _SPREAD
+    if _SPREAD is None:
+        _SPREAD = _splitmix64(np.arange(1 << 16, dtype=_U64)).tolist()
+    return _SPREAD
 
 
 def _stash_keys(idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
@@ -118,47 +141,68 @@ class _Partition:
 
     # -- deterministic insertion -------------------------------------------
     def insert(self, fp: np.ndarray, i1: np.ndarray, i2: np.ndarray, max_kicks: int = 256) -> None:
-        table, m = self.table, self.m
+        """MULTISET semantics (Fan et al. §3.2): every insert stores its
+        own fingerprint copy, even when an identical one is resident.
+        Copies are what make deletion collision-safe: two distinct hashes
+        colliding on (partition, fp) share the SAME bucket pair {i1, i2}
+        (the xor partner of a bucket under a fingerprint is unique), so
+        after deleting one the other's copy is still in a bucket its
+        lookup probes. The per-batch np.unique in merge_hashes keeps one
+        copy per distinct hash per round.
+
+        Runs on a flat python-int list with the precomputed spread table
+        — per-item cost is a few list ops, no numpy scalar churn."""
+        m = self.m
+        spread = _spread_table()
+        tbl: list[int] = self.table.ravel().tolist()
         stash_new: list[int] = []
         for j in range(len(fp)):
-            f, a, b = fp[j], int(i1[j]), int(i2[j])
-            row = table[a]
-            if (row == f).any() or (table[b] == f).any():
-                continue  # fingerprint already resident at either partner
+            f, a, b = int(fp[j]), int(i1[j]), int(i2[j])
             placed = False
             for i in (a, b):
-                free = np.flatnonzero(table[i] == 0)
-                if free.size:
-                    table[i, free[0]] = f
-                    placed = True
+                base = i * SLOTS
+                for s in range(SLOTS):
+                    if tbl[base + s] == 0:
+                        tbl[base + s] = f
+                        placed = True
+                        break
+                if placed:
                     break
             if placed:
                 continue
             # eviction chain: victim slot is a pure function of (fp, kick)
-            i, cur = (a if (int(f) & 1) == 0 else b), f
+            i, cur = (a if (f & 1) == 0 else b), f
             for kick in range(max_kicks):
-                slot = (int(cur) + kick) % SLOTS
-                victim = table[i, slot]
-                table[i, slot] = cur
+                slot = (cur + kick) % SLOTS
+                base = i * SLOTS
+                victim = tbl[base + slot]
+                tbl[base + slot] = cur
                 cur = victim
-                i = int(_alt_index(np.asarray([i]), np.asarray([cur], dtype=np.uint16), m)[0])
-                free = np.flatnonzero(table[i] == 0)
-                if free.size:
-                    table[i, free[0]] = cur
-                    cur = None
+                i = (i ^ (spread[cur] & (m - 1))) & (m - 1)
+                base = i * SLOTS
+                for s in range(SLOTS):
+                    if tbl[base + s] == 0:
+                        tbl[base + s] = cur
+                        cur = -1
+                        break
+                if cur == -1:
                     break
-            if cur is not None:
+            if cur != -1:
                 # saturation: keep exactness via the stash (cur is still a
                 # valid (index, fp) residency for the displaced item)
-                stash_new.append(int(_stash_keys(np.asarray([i]), np.asarray([cur], dtype=np.uint16))[0]))
+                stash_new.append((i << 16) | cur)
+        self.table = np.asarray(tbl, dtype=np.uint16).reshape(m, SLOTS)
         if stash_new:
             self.stash = np.sort(np.concatenate([self.stash, np.asarray(stash_new, dtype=np.int64)]))
 
     def delete(self, fp: np.ndarray, i1: np.ndarray, i2: np.ndarray) -> np.ndarray:
-        """Remove one resident copy of each (fp, i1/i2); returns a bool
-        mask of which deletions found their target. Only delete hashes
-        that were inserted (standard cuckoo-filter caveat: deleting a
-        never-inserted item can evict a colliding one's fingerprint)."""
+        """Remove ONE resident copy of each (fp, i1/i2); returns a bool
+        mask of which deletions found their target. Safe for any hash
+        that was inserted: inserts store one copy each (see insert), and
+        colliding (fp, partition) hashes share the same bucket pair, so
+        the survivor's copy stays probe-visible. The standard caveat
+        remains for hashes NEVER inserted — deleting one can evict a
+        colliding real entry."""
         ok = np.zeros(len(fp), dtype=bool)
         for j in range(len(fp)):
             f = fp[j]
@@ -181,45 +225,16 @@ class _Partition:
         return ok
 
 
-class CuckooSidecar:
+class CuckooSidecar(FilterSidecar):
     """Drop-in alternative to BloomSidecar (same interface, see module doc)."""
 
+    FILES_SUBDIR = "tables"
+
     def __init__(self, root: str, n_buckets: int = 32, entries_per_bucket: int = 1 << 14):
-        if n_buckets & (n_buckets - 1):
-            raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+        super().__init__(root, n_buckets)
         if entries_per_bucket & (entries_per_bucket - 1):
             raise ValueError(f"entries_per_bucket must be a power of two, got {entries_per_bucket}")
-        self.root = root
-        self.n_buckets = n_buckets
         self.m = entries_per_bucket
-        os.makedirs(os.path.join(root, "tables"), exist_ok=True)
-        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
-
-    # -- manifests (identical scheme to bloom) ------------------------------
-    def _manifest_path(self, round_: int) -> str:
-        return os.path.join(self.root, "manifests", f"r{round_}.json")
-
-    def latest_round(self) -> int:
-        rounds = [
-            int(f[1:-5])
-            for f in os.listdir(os.path.join(self.root, "manifests"))
-            if f.startswith("r") and f.endswith(".json")
-        ]
-        return max(rounds, default=-1)
-
-    def manifest(self, round_: int | None = None) -> dict[str, str]:
-        r = self.latest_round() if round_ is None else round_
-        while r >= 0 and not os.path.exists(self._manifest_path(r)):
-            r -= 1
-        if r < 0:
-            return {}
-        with open(self._manifest_path(r)) as f:
-            return json.load(f)
-
-    def rollback_to_round(self, round_: int) -> None:
-        for f in os.listdir(os.path.join(self.root, "manifests")):
-            if f.startswith("r") and f.endswith(".json") and int(f[1:-5]) > round_:
-                os.remove(os.path.join(self.root, "manifests", f))
 
     # -- table io -----------------------------------------------------------
     # worker-lifetime cache, same safety argument as bloom's (files are
@@ -257,34 +272,13 @@ class CuckooSidecar:
                 path = os.path.join(self.root, "tables", f"b{int(b)}_r{round_}.bin")
                 part.save(path)
                 manifest[str(int(b))] = path
-        with open(self._manifest_path(round_), "w") as f:
-            json.dump(manifest, f)
+        self._write_manifest(manifest, round_)
 
-    def merge_dir(self, snapshot_dir: str, round_: int) -> None:
-        import pyarrow.parquet as pq
-
-        files = [
-            os.path.join(snapshot_dir, f)
-            for f in os.listdir(snapshot_dir)
-            if f.endswith(".parquet")
-        ]
-        if files:
-            cols = [pq.read_table(f, columns=["url_hash"])["url_hash"] for f in files]
-            hashes = np.concatenate([c.to_numpy(zero_copy_only=False) for c in cols])
-        else:
-            hashes = np.array([], dtype=np.int64)
-        self.merge_hashes(hashes.astype(np.int64), round_)
-
-    def merge_dir_distributed(self, spark, snapshot_dir: str, round_: int) -> None:
-        """Executor-side merge, one applyInPandas group per partition —
-        byte-identical to `merge_dir` because each group sorts its hashes
-        before the (deterministic) insertion. Same shared-storage
-        requirement as bloom's distributed merge."""
-        from pyspark.sql import functions as F
-
-        manifest = dict(self.manifest())
+    def _bucket_merger(self, prior: dict[int, str], round_: int):
+        """Executor-side per-partition merge (FilterSidecar.
+        merge_dir_distributed) — byte-identical to `merge_hashes` because
+        each group sorts its hashes before the deterministic insertion."""
         root, m = self.root, self.m
-        prior = {int(b): p for b, p in manifest.items()}
 
         def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             b = int(pdf["bucket"].iloc[0])
@@ -296,23 +290,7 @@ class CuckooSidecar:
             part.save(out)
             return pd.DataFrame([{"bucket": b, "path": out}])
 
-        delta = (
-            spark.read.parquet(snapshot_dir)
-            .select("url_hash")
-            .withColumn(
-                "bucket",
-                F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int"),
-            )
-        )
-        rows = (
-            delta.groupBy("bucket")
-            .applyInPandas(merge_bucket, "bucket int, path string")
-            .collect()
-        )
-        for r in rows:
-            manifest[str(r["bucket"])] = r["path"]
-        with open(self._manifest_path(round_), "w") as f:
-            json.dump(manifest, f)
+        return merge_bucket
 
     # -- deletion (the capability bloom lacks) ------------------------------
     def delete_hashes(self, url_hashes: np.ndarray, round_: int) -> int:
@@ -333,8 +311,7 @@ class CuckooSidecar:
                 path = os.path.join(self.root, "tables", f"b{int(b)}_d{round_}.bin")
                 part.save(path)
                 manifest[str(int(b))] = path
-        with open(self._manifest_path(round_), "w") as f:
-            json.dump(manifest, f)
+        self._write_manifest(manifest, round_)
         return removed
 
     # -- query (the pre-filter; same signature as bloom) --------------------

@@ -97,6 +97,7 @@ class CrawlRun:
         distributed_bloom_merge: bool = False,
         http_fetch: bool = False,
         seen_filter: str = "bloom",
+        cuckoo_entries_per_bucket: int = 1 << 14,
     ):
         self.spark = spark
         self.config = config
@@ -105,16 +106,20 @@ class CrawlRun:
         # same interface; the round plan and the merge/rollback sites are
         # filter-agnostic. The choice must be stable across resume (like
         # use_bloom itself — it's part of the run's configuration).
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
         if not use_bloom:
             bloom = None
         elif seen_filter == "cuckoo":
             from crawler_spark.cuckoo import CuckooSidecar
 
-            bloom = CuckooSidecar(os.path.join(state_dir, "_cuckoo"), n_buckets=bloom_buckets)
-        elif seen_filter == "bloom":
-            bloom = BloomSidecar(os.path.join(state_dir, "_bloom"), n_buckets=bloom_buckets)
+            bloom = CuckooSidecar(
+                os.path.join(state_dir, "_cuckoo"),
+                n_buckets=bloom_buckets,
+                entries_per_bucket=cuckoo_entries_per_bucket,
+            )
         else:
-            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
+            bloom = BloomSidecar(os.path.join(state_dir, "_bloom"), n_buckets=bloom_buckets)
         # documents stays a plain parquet read: file-size stats keep
         # Catalyst from ever broadcasting it, and the fetch join streams it
         # via the broadcast semi-join reduction in fetch_and_branch (the

@@ -25,6 +25,9 @@ Config JSON:
   "http_fetch": false,                        (S9 real path: real sockets)
   "seen_filter": "bloom",                     (D1 sidecar: "bloom" | "cuckoo";
       cuckoo supports recrawl deletion — see crawler_spark/cuckoo.py)
+  "cuckoo_entries_per_bucket": 16384,         (cuckoo sizing; see the
+      sizing note in cuckoo.py — keep distinct URLs per partition under
+      ~0.84 * entries * 4)
   "proxy": "addr:port",                       (S6: -p; real path only)
   "ignore_bad_https_certs": false             (Settings.hs:14-15; the
       reference hardcodes True — set true explicitly for parity; the CLI
@@ -103,6 +106,7 @@ def main() -> None:
         spark, cfg, conf["state_dir"], documents, redirects, robots,
         directions=directions, form_instructions=forms, http_fetch=http_fetch,
         seen_filter=str(conf.get("seen_filter", "bloom")),
+        cuckoo_entries_per_bucket=int(conf.get("cuckoo_entries_per_bucket", 1 << 14)),
     )
     if conf.get("resume"):
         r = run.resume()

@@ -142,3 +142,36 @@ def test_crawl_with_cuckoo_seen_filter(spark, tmp_path):
         run.run(max_rounds=4)
         assert run.fetch_order() == res.fetch_order
         assert run.url_seen_state() == res.url_seen
+
+
+def test_deletion_survives_fingerprint_collision(tmp_path):
+    """Regression: two DISTINCT hashes colliding on (partition,
+    fingerprint, bucket) must each keep their own stored copy, so
+    deleting one never makes the other report not-seen. (With
+    presence-skip insert semantics the pair shared one copy and deletion
+    produced a false negative.)"""
+    import numpy as np
+
+    from crawler_spark.cuckoo import CuckooSidecar, _derive
+
+    m, nb = 1 << 8, 2
+    c = CuckooSidecar(str(tmp_path), n_buckets=nb, entries_per_bucket=m)
+    # search a colliding pair: same partition, same fp, same i1
+    cand = np.arange(1, 400000, dtype=np.int64)
+    part = (cand.view(np.uint64) % np.uint64(nb)).astype(np.int64)
+    fp, i1, _ = _derive(cand, m)
+    key = part * (1 << 28) + fp.astype(np.int64) * (1 << 9) + i1
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    dup = np.flatnonzero(ks[1:] == ks[:-1])
+    assert dup.size, "no colliding pair in search range"
+    x, y = int(cand[order[dup[0]]]), int(cand[order[dup[0] + 1]])
+    assert x != y
+
+    c.merge_hashes(np.array([x, y], dtype=np.int64), round_=0)
+    removed = c.delete_hashes(np.array([x], dtype=np.int64), round_=1)
+    assert removed == 1
+    import pandas as pd
+
+    assert c.maybe_seen(pd.Series([y]), c.manifest()).all(), (
+        "collision survivor lost its copy after deleting its twin")
