@@ -96,6 +96,42 @@ def ensure_benchweb():
         json.dump(WEB_KW, f)
 
 
+BENCH_DOCINDEX = os.path.join(BENCH_WEB, "_docindex")
+
+
+def ensure_docindex():
+    """Pre-build the benchweb's doc index ONCE (it is a pure function of
+    the corpus — plans/doc_index.py): every pinned leg previously rebuilt
+    it at CrawlRun init, paying a full-corpus span scan of non-measured
+    wall per leg (~4 legs per bench run). A real deployment computes this
+    with corpus preprocessing, exactly like the web itself."""
+    marker = os.path.join(BENCH_DOCINDEX, "_complete.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == WEB_KW:
+                return
+    ensure_benchweb()
+    shutil.rmtree(BENCH_DOCINDEX, ignore_errors=True)
+    from pyspark.sql import SparkSession
+
+    from crawler_spark.plans.doc_index import write_bucketed_index
+    from crawler_spark.session import build_session
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = build_session(app_name="docindex_gen", master="local[32]", shuffle_partitions=64)
+    try:
+        write_bucketed_index(
+            spark.read.parquet(os.path.join(BENCH_WEB, "documents.parquet")),
+            BENCH_DOCINDEX,
+        )
+    finally:
+        spark.stop()
+    with open(marker, "w") as f:
+        json.dump(WEB_KW, f)
+
+
 def run_queries(spark, sf_dir: str, deadline: float | None = None) -> dict[str, float]:
     """Time every registered query; `deadline` (absolute epoch sec) stops
     the sweep early so a slow sf dir can't eat the scaling pair's budget —
@@ -163,7 +199,8 @@ def crawl_bench(cpus: int, scheduler_mode: str = "budget", n_rounds: int = N_ROU
         # distributed bloom merge: the cluster path (executor-side bucket
         # rebuilds) — scales with cores instead of a fixed driver-side cost
         run = CrawlRun(spark, cfg, state, documents, redirects, robots,
-                       distributed_bloom_merge=True)
+                       distributed_bloom_merge=True,
+                       doc_index_prebuilt=BENCH_DOCINDEX)
         t0 = time.time()
         run.seed_df(seeds_df)
         t_seed = time.time() - t0
@@ -417,6 +454,7 @@ def main():
 
     # ---- stage 1: bench web (cached across runs via _complete.json) ----
     ensure_benchweb()
+    ensure_docindex()
     st["stage"] = "benchweb_ready"
     emit()
 
@@ -660,6 +698,7 @@ if __name__ == "__main__":
 
     if len(sys.argv) >= 3 and sys.argv[1] == "--crawl-only":
         ensure_benchweb()
+        ensure_docindex()
         print("CRAWLJSON " + json.dumps(crawl_bench(int(sys.argv[2]))))
     else:
         main()

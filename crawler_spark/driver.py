@@ -98,6 +98,7 @@ class CrawlRun:
         http_fetch: bool = False,
         seen_filter: str = "bloom",
         cuckoo_entries_per_bucket: int = 1 << 14,
+        doc_index_prebuilt: str | None = None,
     ):
         self.spark = spark
         self.config = config
@@ -153,13 +154,20 @@ class CrawlRun:
             and config.use_doc_index
             and not (directions or [])
         ):
-            from crawler_spark.plans.doc_index import write_bucketed_index
+            if doc_index_prebuilt is not None:
+                # shared pre-built index for the corpus (deterministic, a
+                # pure function of `documents`): many runs over one corpus
+                # — bench legs, resumed crawls, A/B configs — reuse one
+                # build instead of each paying the full-corpus span scan
+                doc_index_path = doc_index_prebuilt
+            else:
+                from crawler_spark.plans.doc_index import write_bucketed_index
 
-            # hash-bucketed index parquet: the corpus side of the
-            # storage-partitioned fetch join (deterministic — resume
-            # simply rewrites it)
-            doc_index_path = os.path.join(state_dir, "_docindex")
-            write_bucketed_index(documents, doc_index_path)
+                # hash-bucketed index parquet: the corpus side of the
+                # storage-partitioned fetch join (deterministic — resume
+                # simply rewrites it)
+                doc_index_path = os.path.join(state_dir, "_docindex")
+                write_bucketed_index(documents, doc_index_path)
         self.ctx = RoundContext(
             spark=spark,
             config=config,
