@@ -70,30 +70,55 @@ SHUFFLE_PARTITIONS = 64  # held constant across parallelism levels — on a
 QUERY_SKIP = set()  # all queries run by default
 
 
-def ensure_benchweb():
-    """Distributed (Spark-native) bench-web generation — multi-million-doc
-    webs materialize in seconds; see crawler_spark/genweb_spark.py."""
-    marker = os.path.join(BENCH_WEB, "_complete.json")
+def _docindex_code_version() -> str:
+    """Hash of the modules that define the doc-index format/content — a
+    code change invalidates the cached index (it used to be rebuilt at
+    every CrawlRun init, so staleness was impossible; the cache must
+    keep that property)."""
+    import hashlib
+
+    import crawler_spark.plans.doc_index as di
+    import crawler_spark.plans.extract as ex
+
+    h = hashlib.md5()
+    for mod in (di, ex):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
+def _ensure_cached(root: str, key: dict, build) -> None:
+    """Marker-gated one-time artifact build (benchweb, doc index): rebuild
+    iff the marker's key dict differs. `build` gets a fresh local[32]
+    session and must write into `root`."""
+    marker = os.path.join(root, "_complete.json")
     if os.path.exists(marker):
         with open(marker) as f:
-            if json.load(f) == WEB_KW:
+            if json.load(f) == key:
                 return
-    shutil.rmtree(BENCH_WEB, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
     from pyspark.sql import SparkSession
 
-    from crawler_spark.genweb_spark import write_benchweb
     from crawler_spark.session import build_session
 
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    spark = build_session(app_name="benchweb_gen", master="local[32]", shuffle_partitions=64)
+    spark = build_session(app_name="bench_cache_gen", master="local[32]", shuffle_partitions=64)
     try:
-        write_benchweb(spark, BENCH_WEB, **WEB_KW)
+        build(spark)
     finally:
         spark.stop()
     with open(marker, "w") as f:
-        json.dump(WEB_KW, f)
+        json.dump(key, f)
+
+
+def ensure_benchweb():
+    """Distributed (Spark-native) bench-web generation — multi-million-doc
+    webs materialize in seconds; see crawler_spark/genweb_spark.py."""
+    from crawler_spark.genweb_spark import write_benchweb
+
+    _ensure_cached(BENCH_WEB, WEB_KW, lambda spark: write_benchweb(spark, BENCH_WEB, **WEB_KW))
 
 
 BENCH_DOCINDEX = os.path.join(BENCH_WEB, "_docindex")
@@ -101,35 +126,20 @@ BENCH_DOCINDEX = os.path.join(BENCH_WEB, "_docindex")
 
 def ensure_docindex():
     """Pre-build the benchweb's doc index ONCE (it is a pure function of
-    the corpus — plans/doc_index.py): every pinned leg previously rebuilt
-    it at CrawlRun init, paying a full-corpus span scan of non-measured
-    wall per leg (~4 legs per bench run). A real deployment computes this
-    with corpus preprocessing, exactly like the web itself."""
-    marker = os.path.join(BENCH_DOCINDEX, "_complete.json")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            if json.load(f) == WEB_KW:
-                return
+    the corpus and the index-building code — both in the marker key):
+    every pinned leg previously rebuilt it at CrawlRun init, paying a
+    full-corpus span scan of non-measured wall per leg."""
     ensure_benchweb()
-    shutil.rmtree(BENCH_DOCINDEX, ignore_errors=True)
-    from pyspark.sql import SparkSession
-
     from crawler_spark.plans.doc_index import write_bucketed_index
-    from crawler_spark.session import build_session
 
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        active.stop()
-    spark = build_session(app_name="docindex_gen", master="local[32]", shuffle_partitions=64)
-    try:
-        write_bucketed_index(
+    _ensure_cached(
+        BENCH_DOCINDEX,
+        {**WEB_KW, "docindex_code": _docindex_code_version()},
+        lambda spark: write_bucketed_index(
             spark.read.parquet(os.path.join(BENCH_WEB, "documents.parquet")),
             BENCH_DOCINDEX,
-        )
-    finally:
-        spark.stop()
-    with open(marker, "w") as f:
-        json.dump(WEB_KW, f)
+        ),
+    )
 
 
 def run_queries(spark, sf_dir: str, deadline: float | None = None) -> dict[str, float]:

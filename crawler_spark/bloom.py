@@ -91,13 +91,13 @@ class BloomSidecar(FilterSidecar):
                 bits = _probes(h[buckets == b], self.k, self.m_bits).ravel()
                 bm = self._load_bitmap(manifest, int(b)).copy()  # don't mutate cache
                 np.bitwise_or.at(bm, bits // 8, (1 << (bits % 8)).astype(np.uint8))
-                path = os.path.join(self.root, "bitmaps", f"b{int(b)}_r{round_}.npy")
+                path = os.path.join(self.root, self.FILES_SUBDIR, f"b{int(b)}_r{round_}.npy")
                 bm.tofile(path)
                 manifest[str(int(b))] = path
         self._write_manifest(manifest, round_)
 
     def _bucket_merger(self, prior: dict[int, str], round_: int):
-        root, k, m_bits = self.root, self.k, self.m_bits
+        files_dir, k, m_bits = os.path.join(self.root, self.FILES_SUBDIR), self.k, self.m_bits
 
         def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             b = int(pdf["bucket"].iloc[0])
@@ -110,7 +110,7 @@ class BloomSidecar(FilterSidecar):
             )
             bits = _probes(h, k, m_bits).ravel()
             np.bitwise_or.at(bm, bits // 8, (1 << (bits % 8)).astype(np.uint8))
-            out = os.path.join(root, "bitmaps", f"b{b}_r{round_}.npy")
+            out = os.path.join(files_dir, f"b{b}_r{round_}.npy")
             # task-unique temp + atomic rename: a speculative/retried task
             # writing the final path directly could leave a truncated or
             # interleaved bitmap behind the committed manifest; rename races

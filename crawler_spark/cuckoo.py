@@ -151,10 +151,16 @@ class _Partition:
         copy per distinct hash per round.
 
         Runs on a flat python-int list with the precomputed spread table
-        — per-item cost is a few list ops, no numpy scalar churn."""
+        — per-item cost is a few list ops, no numpy scalar churn. For
+        small deltas the list conversion would dominate (O(m*SLOTS) to
+        touch a handful of slots), so those write the numpy buffer in
+        place; the placement logic is shared, so both backends place
+        identically."""
         m = self.m
         spread = _spread_table()
-        tbl: list[int] = self.table.ravel().tolist()
+        flat = self.table.ravel()  # C-contiguous -> a view, not a copy
+        use_list = len(fp) * 64 >= flat.size
+        tbl = flat.tolist() if use_list else flat
         stash_new: list[int] = []
         for j in range(len(fp)):
             f, a, b = int(fp[j]), int(i1[j]), int(i2[j])
@@ -175,7 +181,7 @@ class _Partition:
             for kick in range(max_kicks):
                 slot = (cur + kick) % SLOTS
                 base = i * SLOTS
-                victim = tbl[base + slot]
+                victim = int(tbl[base + slot])
                 tbl[base + slot] = cur
                 cur = victim
                 i = (i ^ (spread[cur] & (m - 1))) & (m - 1)
@@ -191,7 +197,8 @@ class _Partition:
                 # saturation: keep exactness via the stash (cur is still a
                 # valid (index, fp) residency for the displaced item)
                 stash_new.append((i << 16) | cur)
-        self.table = np.asarray(tbl, dtype=np.uint16).reshape(m, SLOTS)
+        if use_list:
+            self.table = np.asarray(tbl, dtype=np.uint16).reshape(m, SLOTS)
         if stash_new:
             self.stash = np.sort(np.concatenate([self.stash, np.asarray(stash_new, dtype=np.int64)]))
 
@@ -269,7 +276,7 @@ class CuckooSidecar(FilterSidecar):
                 part = _Partition(self.m, cached.table.copy(), cached.stash.copy())
                 fp, i1, i2 = _derive(hb, self.m)
                 part.insert(fp, i1, i2)
-                path = os.path.join(self.root, "tables", f"b{int(b)}_r{round_}.bin")
+                path = os.path.join(self.root, self.FILES_SUBDIR, f"b{int(b)}_r{round_}.bin")
                 part.save(path)
                 manifest[str(int(b))] = path
         self._write_manifest(manifest, round_)
@@ -278,7 +285,7 @@ class CuckooSidecar(FilterSidecar):
         """Executor-side per-partition merge (FilterSidecar.
         merge_dir_distributed) — byte-identical to `merge_hashes` because
         each group sorts its hashes before the deterministic insertion."""
-        root, m = self.root, self.m
+        files_dir, m = os.path.join(self.root, self.FILES_SUBDIR), self.m
 
         def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             b = int(pdf["bucket"].iloc[0])
@@ -286,7 +293,7 @@ class CuckooSidecar(FilterSidecar):
             part = _Partition.load(prior.get(b), m)
             fp, i1, i2 = _derive(hb, m)
             part.insert(fp, i1, i2)
-            out = os.path.join(root, "tables", f"b{b}_r{round_}.bin")
+            out = os.path.join(files_dir, f"b{b}_r{round_}.bin")
             part.save(out)
             return pd.DataFrame([{"bucket": b, "path": out}])
 
@@ -308,7 +315,7 @@ class CuckooSidecar(FilterSidecar):
                 part = _Partition(self.m, cached.table.copy(), cached.stash.copy())
                 fp, i1, i2 = _derive(hb, self.m)
                 removed += int(part.delete(fp, i1, i2).sum())
-                path = os.path.join(self.root, "tables", f"b{int(b)}_d{round_}.bin")
+                path = os.path.join(self.root, self.FILES_SUBDIR, f"b{int(b)}_d{round_}.bin")
                 part.save(path)
                 manifest[str(int(b))] = path
         self._write_manifest(manifest, round_)
