@@ -31,7 +31,7 @@ from crawler_spark.queries import (
 _FRONT = (
     # new in this round-4 session (never driver-checked):
     "caption_pairs", "substring_dup_spans", "distinct_sketch",
-    "media_dedup_ahash",
+    "media_dedup_ahash", "span_packing",
     # never driver-checked before round 4 (locally green via
     # tools/check_oracles.py):
     "decontaminate", "pagerank", "hits", "snapshot_delta", "passage_dedup",

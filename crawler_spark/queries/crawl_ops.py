@@ -1090,3 +1090,94 @@ ORACLE_CAPTION_PAIRS = """
 
 QUERIES["caption_pairs"] = q_caption_pairs
 ORACLES["caption_pairs"] = ORACLE_CAPTION_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# span_packing: sequence packing for INTERLEAVED text+media documents —
+# the multimodal twin of token_packing. Each doc's training cost is the
+# sum of its spans: text spans at (chars+3) div 4 tokens (integer BPE
+# proxy, float-free on both engines), media spans at a fixed 64-token
+# budget (the patch-embedding slot an interleaved MM model reserves per
+# image). Docs are concatenated in doc_id order and chunked into
+# 1024-token packs; each doc reports its pack, offset, and span count.
+#
+# Scale shape: per-doc cost is row-local HOFs over the span array; the
+# global exclusive running sum is plans/ranking.global_cumsum (intra-
+# bucket prefix windows + O(#buckets) offset cumsum + broadcast join) —
+# the corpus never crosses a single partition, same as token_packing.
+# ---------------------------------------------------------------------------
+
+_SPAN_PACK_LEN = 1024
+_SPAN_MEDIA_COST = 64
+
+
+def q_span_packing(spark, sf_dir):
+    from crawler_spark.plans.ranking import global_cumsum
+
+    d = _t(spark, sf_dir, "documents")
+    costs = d.select(
+        "doc_id",
+        F.expr(
+            f"aggregate({_SPAN_SYNTH}, 0L, (acc, s) -> acc + "
+            f"CASE WHEN s.kind = 'text' THEN (length(s.text) + 3) div 4 "
+            f"ELSE {_SPAN_MEDIA_COST}L END)"
+        ).alias("doc_cost"),
+        F.expr(f"size(filter({_SPAN_SYNTH}, s -> s.kind = 'media'))").alias("n_media"),
+    )
+    return (
+        global_cumsum(
+            costs, "doc_id", "doc_cost", "cum_before",
+            bucket=F.expr("doc_id div 4096"),
+        )
+        .select(
+            "doc_id",
+            F.col("doc_cost").cast("bigint").alias("doc_cost"),
+            F.col("n_media").cast("int").alias("n_media"),
+            F.expr(f"cum_before div {_SPAN_PACK_LEN}").alias("pack_id"),
+            (F.col("cum_before") % _SPAN_PACK_LEN).alias("pack_offset"),
+            F.when(F.col("doc_cost") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.expr(f"(cum_before + doc_cost - 1) div {_SPAN_PACK_LEN}")
+                - F.expr(f"cum_before div {_SPAN_PACK_LEN}")
+                + 1
+            )
+            .alias("n_spanned_packs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SPAN_PACKING = f"""
+    WITH s AS (
+      SELECT d.doc_id, g.i,
+             CASE WHEN g.i % 2 = 0
+                  THEN (length(substr(d.text, CAST(g.i * 7 + 1 AS INT), 7)) + 3) // 4
+                  ELSE {_SPAN_MEDIA_COST} END AS cost,
+             CASE WHEN g.i % 2 = 1 THEN 1 ELSE 0 END AS is_media
+      FROM documents d,
+           LATERAL unnest(generate_series(0, d.doc_id % 5)) AS g(i)
+    ),
+    costs AS (
+      SELECT doc_id, CAST(sum(cost) AS BIGINT) AS doc_cost,
+             CAST(sum(is_media) AS INT) AS n_media
+      FROM s GROUP BY doc_id
+    ),
+    cum AS (
+      SELECT doc_id, doc_cost, n_media,
+             CAST(coalesce(sum(doc_cost) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM costs
+    )
+    SELECT doc_id, doc_cost, n_media,
+           cum_before // {_SPAN_PACK_LEN} AS pack_id,
+           cum_before % {_SPAN_PACK_LEN} AS pack_offset,
+           CAST(CASE WHEN doc_cost = 0 THEN 0
+                ELSE (cum_before + doc_cost - 1) // {_SPAN_PACK_LEN}
+                     - cum_before // {_SPAN_PACK_LEN} + 1 END AS BIGINT)
+             AS n_spanned_packs
+    FROM cum ORDER BY doc_id
+"""
+
+QUERIES["span_packing"] = q_span_packing
+ORACLES["span_packing"] = ORACLE_SPAN_PACKING

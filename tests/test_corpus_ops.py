@@ -444,3 +444,27 @@ def test_caption_pairs_nearest_and_tie_semantics(spark):
         if r["doc_id"] in {d for d, _ in rows}
     }
     assert got == expect
+
+
+def test_span_packing_continuity(spark):
+    """Packing invariants over the interleaved-span layout: offsets are a
+    gapless exact prefix sum of costs in doc_id order (media spans at
+    the fixed 64-token budget), pack_offset < pack length, and
+    n_spanned_packs covers exactly the cost interval."""
+    from crawler_spark.queries.crawl_ops import (
+        _SPAN_MEDIA_COST,
+        _SPAN_PACK_LEN,
+        q_span_packing,
+    )
+
+    rows = q_span_packing(spark, SF).orderBy("doc_id").collect()
+    assert rows
+    cum = 0
+    for r in rows:
+        assert r["pack_id"] * _SPAN_PACK_LEN + r["pack_offset"] == cum
+        assert 0 <= r["pack_offset"] < _SPAN_PACK_LEN
+        if r["doc_cost"]:
+            last = cum + r["doc_cost"] - 1
+            assert r["n_spanned_packs"] == last // _SPAN_PACK_LEN - cum // _SPAN_PACK_LEN + 1
+        assert r["doc_cost"] >= r["n_media"] * _SPAN_MEDIA_COST
+        cum += r["doc_cost"]
