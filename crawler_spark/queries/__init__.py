@@ -22,35 +22,24 @@ from crawler_spark.queries import (
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries at
-# each round; round 3 checked exactly crawl_ops + pipeline_ops + 1, leaving
-# the corpus/linkgraph/dataset analytics with no driver verdict. Front-load
-# (a) every op that has never had a driver row and (b) every op whose
-# engine or oracle changed this round, so r03 ∪ r04 covers all of them;
-# the remainder (green and unchanged in CORRECTNESS_r03.json) follows in
-# module order.
+# each round. Round-5 window: exactly the 34 queries with no row in
+# CORRECTNESS_r04.json (green in r03 but rotated out of the r04 window)
+# plus inverted_index (red in r04 — an array<string> output column the
+# driver hasher could not canonicalize; now flattened to a string). The
+# remainder (green in r04, unchanged) follows in module order.
 _FRONT = (
-    # new in this round-4 session (never driver-checked):
-    "caption_pairs", "substring_dup_spans", "distinct_sketch",
-    "media_dedup_ahash", "span_packing",
-    # never driver-checked before round 4 (locally green via
-    # tools/check_oracles.py):
-    "decontaminate", "pagerank", "hits", "snapshot_delta", "passage_dedup",
-    "top_ngrams", "recrawl_schedule", "reciprocal_links", "anchor_text",
-    "crawl_traps", "politeness_audit", "inverted_index", "asof_join",
-    "gopher_quality", "pii_scrub", "domain_sample", "length_quantiles",
-    "normalize_dedup", "source_temperature_sample",
-    # driver-red in r03 (oracle HUGEINT vs bigint — CAST fixed):
-    "embedding_centroids",
-    # new in round 4 (real pure-stdlib PNG/GIF decode round-trips, full
-    # iterative Lloyd k-means):
-    "media_decode_png", "media_decode_gif", "media_decode_wav",
-    "media_resize_png", "media_frames_gif", "media_audio_features",
-    "kmeans_lloyd", "token_packing", "classifier_score", "embedding_quantize",
-    # engine/oracle touched in round 4 (subtree sharing, integer
-    # floor-div, simhash hot-path rewrite):
-    "dedup_minhash_lsh", "dedup_minhash_verify", "dedup_components",
-    "dedup_keep_best", "simhash", "simhash_pairs", "dedup_ngram_jaccard",
-    "setsim_ppjoin",
+    # red in r04 (postings column flattened to a comma-joined string):
+    "inverted_index",
+    # absent from CORRECTNESS_r04.json — rotate back in:
+    "depth_priority", "include_filter", "robots_filter", "redirect_closure",
+    "mark_completed", "quota_cutoff", "frontier_merge", "metrics_counts",
+    "metrics_rollup", "chain_dedup", "cookie_diff", "session_collect",
+    "warc_records", "span_stats", "dedup_exact", "embedding_neardup",
+    "ann_cosine_topk", "lang_id", "quality_score", "token_count",
+    "fingerprint", "corpus_pipeline", "event_window", "event_sessions",
+    "media_decode", "corpus_split", "ann_lsh_topk", "embedding_neardup_lsh",
+    "ann_ivf_topk", "media_resize", "media_features", "media_frames",
+    "event_dedup_windowed", "tfidf_topterms",
 )
 
 

@@ -319,11 +319,20 @@ def q_inverted_index(spark, sf_dir):
     )
     idx = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings_arr"),
     )
+    # postings is emitted as a comma-joined string, not array<bigint>:
+    # the driver's value hasher canonicalizes via pandas sort_values,
+    # which cannot hash list cells — all contract outputs must be scalar.
     return (
         idx.where(F.col("df") <= INDEX_MAX_DF)
-        .select("term", "df", "postings")
+        .select(
+            "term",
+            "df",
+            F.array_join(
+                F.transform("postings_arr", lambda x: x.cast("string")), ","
+            ).alias("postings"),
+        )
         .orderBy("term")
     )
 
@@ -340,7 +349,7 @@ ORACLE_INVERTED_INDEX = f"""
     ),
     idx AS (
       SELECT term, count(*) AS df,
-             list_sort(list(doc_id)) AS postings
+             array_to_string(list_sort(list(doc_id)), ',') AS postings
       FROM toks GROUP BY 1
     )
     SELECT term, df, postings FROM idx WHERE df <= {INDEX_MAX_DF} ORDER BY term

@@ -65,3 +65,24 @@ def test_crawl_round_plan_has_no_cartesian_or_rowwise_python(spark):
         plan = _physical_plan(run.catalog.tables[tname].read(spark))
         assert "CartesianProduct" not in plan, tname
         assert "BatchEvalPython" not in plan, tname
+
+
+def test_every_query_output_column_is_scalar(spark):
+    """The driver's value hasher canonicalizes results with pandas
+    sort_values, which cannot hash list/map/struct cells — r04's only red
+    row (inverted_index) was exactly this, not a value bug. Gate: every
+    contract query's output schema is scalar-only."""
+    from pyspark.sql import types as T
+
+    from crawler_spark.queries import all_queries
+
+    bad = {}
+    for name, fn in all_queries().items():
+        nonscalar = [
+            f.name
+            for f in fn(spark, SF).schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if nonscalar:
+            bad[name] = nonscalar
+    assert not bad, f"non-scalar output columns break the driver hasher: {bad}"
