@@ -70,17 +70,26 @@ SHUFFLE_PARTITIONS = 64  # held constant across parallelism levels — on a
 QUERY_SKIP = set()  # all queries run by default
 
 
+# Bump whenever the on-disk doc-index format or its derivation changes in
+# a way the module-hash below can't see (e.g. index content starts
+# depending on a helper or constant OUTSIDE doc_index.py/extract.py).
+# Belt-and-braces with the module hash: either signal invalidates.
+DOC_INDEX_FORMAT_VERSION = 1
+
+
 def _docindex_code_version() -> str:
     """Hash of the modules that define the doc-index format/content — a
     code change invalidates the cached index (it used to be rebuilt at
     every CrawlRun init, so staleness was impossible; the cache must
-    keep that property)."""
+    keep that property). DOC_INDEX_FORMAT_VERSION covers dependencies
+    the module hash can't see."""
     import hashlib
 
     import crawler_spark.plans.doc_index as di
     import crawler_spark.plans.extract as ex
 
     h = hashlib.md5()
+    h.update(str(DOC_INDEX_FORMAT_VERSION).encode())
     for mod in (di, ex):
         with open(mod.__file__, "rb") as f:
             h.update(f.read())

@@ -245,8 +245,13 @@ class CuckooSidecar(FilterSidecar):
 
     # -- table io -----------------------------------------------------------
     # worker-lifetime cache, same safety argument as bloom's (files are
-    # immutable copy-on-write per round)
+    # immutable copy-on-write per round). Bounded by BYTES, not entries:
+    # at production sizing (entries_per_bucket=2^20 → ~8 MB/partition) a
+    # 256-entry cap would be ~2 GB per executor process; bloom's identical
+    # scheme holds ~32 MB, which is the budget this bound preserves.
     _part_cache: dict = {}
+    _part_cache_bytes: int = 0
+    PART_CACHE_MAX_BYTES = 256 << 20  # 256 MB per executor process
 
     def _load_partition(self, manifest: dict[str, str], bucket: int) -> _Partition:
         path = manifest.get(str(bucket))
@@ -255,9 +260,12 @@ class CuckooSidecar(FilterSidecar):
         part = CuckooSidecar._part_cache.get(path)
         if part is None:
             part = _Partition.load(path, self.m)
-            if len(CuckooSidecar._part_cache) > 256:
+            nbytes = part.table.nbytes + part.stash.nbytes
+            if CuckooSidecar._part_cache_bytes + nbytes > self.PART_CACHE_MAX_BYTES:
                 CuckooSidecar._part_cache.clear()
+                CuckooSidecar._part_cache_bytes = 0
             CuckooSidecar._part_cache[path] = part
+            CuckooSidecar._part_cache_bytes += nbytes
         return part
 
     def _partition_of(self, h: np.ndarray) -> np.ndarray:

@@ -109,6 +109,24 @@ class CrawlRun:
         # use_bloom itself — it's part of the run's configuration).
         if seen_filter not in ("bloom", "cuckoo"):
             raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
+        # fail fast on a filter-type flip across resume: the other type's
+        # sidecar dir holding committed manifests means this state_dir was
+        # built with that filter — constructing the new (empty) sidecar
+        # would answer maybe_seen all-False and silently re-admit every
+        # previously-seen URL past the exact anti-join.
+        if use_bloom:
+            other = "_bloom" if seen_filter == "cuckoo" else "_cuckoo"
+            other_manifests = os.path.join(state_dir, other, "manifests")
+            if os.path.isdir(other_manifests) and any(
+                f.endswith(".json") for f in os.listdir(other_manifests)
+            ):
+                raise ValueError(
+                    f"state_dir {state_dir!r} was built with seen_filter="
+                    f"{other.lstrip('_')!r}; resuming with {seen_filter!r} "
+                    "would start from an empty filter and corrupt url_seen "
+                    "semantics. Use the original filter type or a fresh "
+                    "state_dir."
+                )
         if not use_bloom:
             bloom = None
         elif seen_filter == "cuckoo":

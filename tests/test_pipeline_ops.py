@@ -445,6 +445,12 @@ def test_gif_multi_frame_round_trip():
         sw, sh, sums = decode_gif_frames(encode_gif_multi(w, h, frames))
         assert (sw, sh) == (w, h)
         assert sums == [sum(f) for f in frames]
+        # strided decode: grid frames get the SAME real sum, skipped
+        # frames are None (their LZW decode never runs)
+        _, _, strided = decode_gif_frames(encode_gif_multi(w, h, frames), stride=3)
+        assert len(strided) == nf
+        for f in range(nf):
+            assert strided[f] == (sum(frames[f]) if f % 3 == 0 else None)
     pdf = pd.DataFrame({
         "doc_id": [3],
         "payload": [encode_gif_multi(2, 2, [bytes([f] * 4) for f in range(8)])],

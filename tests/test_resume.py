@@ -102,3 +102,31 @@ def test_service_add_urls_and_queue_size(spark, tmp_state):
     run.run(max_rounds=1)
     st = service.run_status(run, spark)
     assert st["round"] == 0 and st["status"] == "running"
+
+
+def test_resume_with_other_seen_filter_type_fails_fast(spark, tmp_state):
+    """seen_filter must stay stable across resume: flipping bloom→cuckoo on
+    an existing state_dir would construct an EMPTY sidecar whose maybe_seen
+    answers all-False, silently re-admitting previously-seen URLs. The
+    constructor must refuse instead (ADVICE r04)."""
+    import pytest
+
+    web = generate(n_docs=30, n_hosts=4, seed=5)
+    config = CrawlConfig(
+        seeds=tuple(web["seeds"]["url"]),
+        domain_include_patterns=("example.org",),
+        per_host_budget=2,
+    )
+    run = _mk_run(spark, tmp_state, web, config)  # seen_filter='bloom'
+    run.seed(list(config.seeds))
+    run.run(max_rounds=2)
+
+    docs, redirects, robots = web_to_spark(spark, web)
+    with pytest.raises(ValueError, match="seen_filter"):
+        CrawlRun(
+            spark, config, tmp_state, docs, redirects, robots,
+            bloom_buckets=8, seen_filter="cuckoo",
+        )
+    # same filter type still resumes fine
+    run2 = _mk_run(spark, tmp_state, web, config)
+    assert run2.resume() >= 0
