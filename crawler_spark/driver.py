@@ -474,6 +474,61 @@ class CrawlRun:
         )
         return [(r["round"], int(r["rank"]), r["url"]) for r in rows]
 
+    def evict_urls(self, urls) -> int:
+        """Recrawl eviction: expire previously-crawled URLs so the next
+        link discovery re-admits and re-fetches them (the action side of a
+        recrawl schedule — see queries/corpus_ops.py:q_recrawl_schedule
+        for the selection side).
+
+        `urls` is a list[str] or a single-column DataFrame of exact URLs.
+        Call between rounds. Two state updates, IN THIS ORDER:
+
+        1. url_seen (exact set): anti-join the eviction set out and commit
+           the new snapshot at the last completed round, so resume keeps
+           it.
+        2. seen-filter sidecar: cuckoo supports true deletion
+           (delete_hashes); bloom cannot delete, and correctness does not
+           need it — filter hits are exact-checked against url_seen by the
+           admission anti-join (plans/round.py), so a stale filter entry
+           costs one extra anti-join probe, never a wrong admission. The
+           cuckoo path exists because at 10^10-URL scale an
+           eviction-heavy workload would otherwise grow the filter's
+           false-positive rate epoch over epoch.
+
+        The order is the crash-safety argument: dying between (1) and (2)
+        leaves evicted URLs still flagged maybe_seen — harmless. The
+        reverse order would let a filter-cleared URL bypass the exact
+        check while still in url_seen and double-fetch it.
+
+        Returns the number of url_seen rows removed.
+        """
+        spark, cat = self.spark, self.catalog
+        evict_df = (
+            urls if hasattr(urls, "join")
+            else spark.createDataFrame([(u,) for u in urls], "url string")
+        ).select("url").distinct()
+        seen = cat.url_seen.read(spark)
+        # hashes to delete from the sidecar: only ones actually present
+        evicted_hashes = [
+            r["url_hash"]
+            for r in seen.join(evict_df, "url", "left_semi")
+            .select("url_hash").distinct().collect()
+        ]
+        before = seen.count()
+        commit_round = self.round - 1  # last completed round
+        after = cat.url_seen.overwrite(
+            seen.join(evict_df, "url", "left_anti"), commit_round
+        )
+        if evicted_hashes and self.ctx.bloom is not None and hasattr(
+            self.ctx.bloom, "delete_hashes"
+        ):
+            import numpy as np
+
+            self.ctx.bloom.delete_hashes(
+                np.asarray(evicted_hashes, dtype=np.int64), commit_round
+            )
+        return before - after
+
     def url_seen_state(self) -> dict[str, str]:
         """completed beats failed ('completed' < 'failed' ⇒ min)."""
         rows = (

