@@ -160,6 +160,16 @@ def run_queries(spark, sf_dir: str, deadline: float | None = None) -> dict[str, 
     whatever ran is in the artifact, the rest is marked truncated."""
     from crawler_spark.queries import all_queries
 
+    # untimed session warmup: the FIRST query in a fresh session otherwise
+    # absorbs ~4-6 s of one-time cost (codegen, AQE, noop sink, parquet
+    # footer/page cache) — with the registry now rotating, that cost would
+    # land on a different query each round and read as a per-query
+    # regression. Warm the machinery and every table's scan path once.
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")) \
+            .limit(1000).write.format("noop").mode("overwrite").save()
+
     out = {}
     for name, fn in all_queries().items():
         if name in QUERY_SKIP:
@@ -311,7 +321,7 @@ def _probe_work(n):
     return h
 
 
-def decide_bench_sub(n_docs: int = 300_000, cores: int = 8) -> dict | None:
+def decide_bench_sub(n_docs: int = 400_000, cores: int = 8) -> dict | None:
     """Decide-stage isolation bench (tools/decide_bench.py) as a
     subprocess; rows/s/core lands in the artifact so the fast-path claim
     is driver-verifiable (VERDICT r2 #9)."""
@@ -590,10 +600,12 @@ def main():
     # (semantics gated by the timing trace-equivalence test; this records
     # its throughput shape)
     if remaining() > 240:
-        # a throughput-shape record, not a scaling statistic: a 1/16 seed
-        # keeps the virtual-time scheduler exercised at ~1/3 the wall
+        # a throughput-shape record, not a scaling statistic — but keep the
+        # round big enough (1/8 seed ≈ 1.25M urls) that per-round fixed
+        # cost doesn't dominate the reported rate (a 1/16 probe read 18.5k
+        # vs 37.7k at full size: size artifact, not a scheduler change)
         st["timing_round"] = crawl_bench(8, scheduler_mode="timing", n_rounds=1,
-                                         seed_mod=16)
+                                         seed_mod=8)
         st["stage"] = "timing_done"
         emit()
     else:

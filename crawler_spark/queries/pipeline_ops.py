@@ -1813,24 +1813,50 @@ def q_setsim_ppjoin(spark, sf_dir):
     )
     pre = ex.where(F.col("pos") <= F.expr("n_sh div 2 + 1"))
     cand = (
-        pre.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "sh")
+        pre.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"),
+                   F.col("pos").alias("pa"), "sh")
         .join(
-            pre.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "sh"),
+            pre.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"),
+                       F.col("pos").alias("pb"), "sh"),
             "sh",
         )
         .where(F.col("a") < F.col("b"))
         .where(F.lit(2) * F.least("na", "nb") >= F.greatest("na", "nb"))
+        # PPJoin positional filter, per emission: at the FIRST shared
+        # prefix token (positions i, j in the shared rarest-first order)
+        # no earlier token is shared on either side, so
+        # n_inter <= 1 + min(na - i, nb - j); J >= 1/2 needs
+        # 3*n_inter >= na + nb. A pair is kept if ANY of its emissions
+        # passes (superset of "first emission passes" => lossless). On
+        # duplication-heavy corpora this prunes the one-rare-token false
+        # pairs BEFORE the distinct — the 10x-data sweep went superlinear
+        # (72x) from exactly those surviving to verification.
+        .where(
+            F.lit(3) * (F.lit(1) + F.least(F.col("na") - F.col("pa"),
+                                           F.col("nb") - F.col("pb")))
+            >= F.col("na") + F.col("nb")
+        )
         # na/nb are functionally dependent on a/b — carrying them through
         # the distinct costs nothing and saves a sizes re-aggregate plus
         # two join stages downstream
         .select("a", "b", "na", "nb")
         .distinct()
     )
+    # verify on per-doc shingle ARRAYS (row-local array_intersect), not the
+    # exploded table: the candidate-keyed join then moves one array row per
+    # pair side instead of O(shingles) exploded rows per pair, and the
+    # n_inter groupBy shuffle disappears entirely — at 10x data this was
+    # the difference between ~quadratic and ~linear verify cost.
+    doc_arrays = ex.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
     inter = (
-        cand.join(ex.select(F.col("doc_id").alias("a"), "sh"), "a")
-        .join(ex.select(F.col("doc_id").alias("b"), "sh"), ["b", "sh"])
-        .groupBy("a", "b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        cand.join(doc_arrays.select(F.col("doc_id").alias("a"),
+                                    F.col("shs").alias("sha")), "a")
+        .join(doc_arrays.select(F.col("doc_id").alias("b"),
+                                F.col("shs").alias("shb")), "b")
+        .select(
+            "a", "b", "na", "nb",
+            F.size(F.array_intersect("sha", "shb")).alias("n_inter"),
+        )
     )
     jac = inter.withColumn(
         "jaccard_micro",

@@ -86,3 +86,32 @@ def test_every_query_output_column_is_scalar(spark):
         if nonscalar:
             bad[name] = nonscalar
     assert not bad, f"non-scalar output columns break the driver hasher: {bad}"
+
+
+def test_rotation_front_loads_least_recently_green():
+    """The registry orders queries by last driver-green round (committed
+    CORRECTNESS_r*.json artifacts), never-green/red first, _FORCE_FRONT
+    pinned — so the driver's 50-query window cycles through all of them
+    on a least-recently-verified schedule with no hand-kept list."""
+    import json
+
+    from crawler_spark.queries import _FORCE_FRONT, _last_green_rounds, all_queries
+
+    last = _last_green_rounds()
+    names = list(all_queries())
+    # pinned entries lead
+    assert names[: len(_FORCE_FRONT)] == list(_FORCE_FRONT)
+    # after the pinned prefix, last-green rounds are non-decreasing
+    rounds = [last.get(n, -1) for n in names[len(_FORCE_FRONT):]]
+    assert rounds == sorted(rounds)
+    # every query green in the newest artifact is AFTER every query that
+    # artifact did not certify
+    with open("/root/repo/CORRECTNESS_r04.json") as f:
+        r04 = {
+            q for q, v in json.load(f).items()
+            if v.get("hash_match") or v.get("rows_match")
+        }
+    idx = {n: i for i, n in enumerate(names)}
+    newest_green = [idx[q] for q in r04 if q in idx]
+    stale = [idx[q] for q in names if q not in r04 and q not in _FORCE_FRONT]
+    assert max(stale) < min(newest_green)
