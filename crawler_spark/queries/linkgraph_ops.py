@@ -356,7 +356,124 @@ ORACLE_INVERTED_INDEX = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval over the documents table — the query-side twin of
+# the inverted index above (index = build time, this = serve/analytics
+# time; together they are the IR loop a crawler's stored corpus feeds).
+#
+# All arithmetic is INTEGER fixed-point so the DuckDB oracle is bit-exact:
+# k1=1.2 and b=0.75 carried in milli units, the tf saturation ratio in
+# micro units, every division a floor `div` applied in the same order on
+# both engines (all operands positive => floor == truncate on both). The
+# idf is the rational variant idf_milli = 1000*(N-df+1) div (df+1) — an
+# ln-free rarity weight, because Java's and C's log() need not agree in
+# the last bit and one ulp would flip the value hash.
+#
+# Scale shape: tf for the (constant) query terms is computed ROW-LOCALLY
+# with array HOFs — no explode, no (doc, term) shuffle; corpus stats
+# (N, total length, per-term df) collapse in ONE aggregate whose single
+# row broadcasts back; the only other movement is the global top-k
+# (TakeOrdered — never a full sort at 10^10 docs).
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("spark", "merge", "window")
+BM25_K1_MILLI = 1200  # k1 = 1.2
+BM25_B_MILLI = 750    # b = 0.75
+BM25_TOP_K = 20
+
+
+def q_bm25_topk(spark, sf_dir):
+    def tf_of(term):
+        # a dedicated closure, NOT a default-arg lambda: pyspark decides a
+        # HOF lambda's meaning by its ARITY, so `lambda t, term=term:`
+        # would be treated as the (element, index) form and bind the array
+        # index to `term`
+        return F.size(F.filter("tokens", lambda t: F.lower(t) == F.lit(term)))
+
+    toks = _docs_tokens(spark, sf_dir).select(
+        "doc_id", F.size("tokens").alias("dl"),
+        *[tf_of(term).alias(f"tf{i}") for i, term in enumerate(BM25_QUERY_TERMS)],
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+    scored = toks.join(F.broadcast(stats))
+    # avgdl in milli; len_factor_milli = 1000*(1 - b + b*dl/avgdl)
+    scored = scored.withColumn(
+        "avgdl_milli", F.expr("(1000 * total_dl) div n_docs")
+    ).withColumn(
+        # cast(dl) first: dl/tf are INT (F.size) and Spark int literals are
+        # int32 — an uncast product overflows under ANSI mode
+        "lf_milli",
+        F.expr(
+            f"1000 - {BM25_B_MILLI} + "
+            f"({BM25_B_MILLI} * cast(dl as bigint) * 1000) div avgdl_milli"
+        ),
+    )
+    score = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        term_score = F.expr(
+            f"((1000 * (n_docs - df{i} + 1)) div (df{i} + 1))"      # idf_milli
+            f" * ((1000000 * cast(tf{i} as bigint) * ({BM25_K1_MILLI} + 1000)) div "
+            f"(cast(tf{i} as bigint) * 1000 + ({BM25_K1_MILLI} * lf_milli) div 1000))"
+            f" div 1000"  # tf part (micro)
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        scored.select("doc_id", "dl", score.alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(tokens, t -> lower(t) = '{term}')) AS tf{i}"
+        for i, term in enumerate(BM25_QUERY_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    score = " + ".join(
+        f"((1000 * (n_docs - df{i} + 1)) // (df{i} + 1))"
+        f" * ((1000000 * tf{i} * ({BM25_K1_MILLI} + 1000)) // "
+        f"(tf{i} * 1000 + ({BM25_K1_MILLI} * lf_milli) // 1000)) // 1000"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, len(tokens) AS dl, {tf_cols}
+      FROM ({_TOKENS_SQL})
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_dl, {df_cols} FROM toks
+    ),
+    scored AS (
+      SELECT t.*, s.*,
+             (1000 * s.total_dl) // s.n_docs AS avgdl_milli,
+             1000 - {BM25_B_MILLI}
+               + ({BM25_B_MILLI} * t.dl * 1000)
+                 // ((1000 * s.total_dl) // s.n_docs) AS lf_milli
+      FROM toks t CROSS JOIN stats s
+    )
+    SELECT doc_id, dl, CAST({score} AS BIGINT) AS score_micro
+    FROM scored
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {BM25_TOP_K}
+"""
+
+
+ORACLE_BM25_TOPK = _bm25_oracle()
+
+
 QUERIES = {
+    "bm25_topk": q_bm25_topk,
     "anchor_text": q_anchor_text,
     "crawl_traps": q_crawl_traps,
     "politeness_audit": q_politeness_audit,
@@ -368,6 +485,7 @@ ORACLES = {
     "crawl_traps": ORACLE_CRAWL_TRAPS,
     "politeness_audit": ORACLE_POLITENESS_AUDIT,
     "inverted_index": ORACLE_INVERTED_INDEX,
+    "bm25_topk": ORACLE_BM25_TOPK,
 }
 
 

@@ -162,3 +162,53 @@ def test_distinct_sketch_estimator_properties(spark):
     merged_mink = sorted(set(part_minks[0]) | set(part_minks[1]))[:_KMV_K]
     whole_mink = sorted(set(vals))[:_KMV_K]
     assert merged_mink == whole_mink
+
+
+def test_bm25_topk_matches_pure_python_float_ranking(spark):
+    """The integer fixed-point BM25 must produce the same top-k ORDER a
+    pure-Python float BM25 (same rational idf) produces — fixed-point is
+    for cross-engine bit-exactness, not a different ranking. Allows only
+    adjacent swaps where the float scores are within fixed-point
+    resolution."""
+    from crawler_spark.queries.linkgraph_ops import (
+        BM25_B_MILLI,
+        BM25_K1_MILLI,
+        BM25_QUERY_TERMS,
+        BM25_TOP_K,
+        q_bm25_topk,
+    )
+
+    rows = q_bm25_topk(spark, SF).collect()
+    assert len(rows) == BM25_TOP_K
+    scores = [r["score_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert scores[0] > 0
+
+    docs = duckdb.sql(f"SELECT doc_id, text FROM '{SF}/documents.parquet'").fetchall()
+    toks = {d: [t for t in re.split(r"\s+", txt) if t] for d, txt in docs}
+    n = len(toks)
+    total_dl = sum(len(v) for v in toks.values())
+    avgdl = total_dl / n
+    k1, b = BM25_K1_MILLI / 1000, BM25_B_MILLI / 1000
+    df = {
+        term: sum(1 for v in toks.values() if term in (t.lower() for t in v))
+        for term in BM25_QUERY_TERMS
+    }
+
+    def score(d):
+        dl = len(toks[d])
+        s = 0.0
+        for term in BM25_QUERY_TERMS:
+            tf = sum(1 for t in toks[d] if t.lower() == term)
+            idf = (n - df[term] + 1) / (df[term] + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return s
+
+    ref = sorted(toks, key=lambda d: (-score(d), d))[:BM25_TOP_K]
+    got = [r["doc_id"] for r in rows]
+    # identical membership; order may differ only where float scores tie
+    # within fixed-point resolution (~1e-3 of the idf*tf unit)
+    assert set(got) == set(ref)
+    for a, g in zip(ref, got):
+        if a != g:
+            assert abs(score(a) - score(g)) < 0.05
