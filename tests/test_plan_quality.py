@@ -115,3 +115,36 @@ def test_rotation_front_loads_least_recently_green():
     newest_green = [idx[q] for q in r04 if q in idx]
     stale = [idx[q] for q in names if q not in r04 and q not in _FORCE_FRONT]
     assert max(stale) < min(newest_green)
+
+
+def test_global_windows_only_over_partition_level_aggregates(spark):
+    """Some query plans legitimately contain an UNPARTITIONED window — the
+    two-phase global rank / prefix sum (plans/ranking.py) runs its phase-2
+    cumulative sum over ONE ROW PER BUCKET. That is the bounded,
+    scale-safe shape (input cardinality == bucket count, never corpus
+    rows); Spark's 'No Partition Defined' warning for it is expected.
+    This gate pins the invariant: every global window in every contract
+    query plan must consume only the ranking module's partition-level
+    aggregate columns (_pid/_cb + _cnt/_bsum), so a future op cannot
+    introduce a global window over row-level data unnoticed."""
+    import contextlib
+    import io
+    import re
+
+    from crawler_spark.queries import all_queries
+
+    offenders = {}
+    for name, fn in all_queries().items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, SF).explain(True)
+        plan = buf.getvalue()
+        for line in plan.splitlines():
+            for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", line):
+                first = m.group(1).split(",")[0]
+                is_global = " ASC" in first or " DESC" in first
+                if is_global and not re.search(r"_pid#|_cb#", line):
+                    offenders.setdefault(name, []).append(line.strip()[:120])
+    assert not offenders, (
+        f"global window over non-partition-level data: {offenders}"
+    )
