@@ -507,27 +507,39 @@ class CrawlRun:
             urls if hasattr(urls, "join")
             else spark.createDataFrame([(u,) for u in urls], "url string")
         ).select("url").distinct()
-        seen = cat.url_seen.read(spark)
-        # hashes to delete from the sidecar: only ones actually present
-        evicted_hashes = [
-            r["url_hash"]
-            for r in seen.join(evict_df, "url", "left_semi")
-            .select("url_hash").distinct().collect()
-        ]
-        before = seen.count()
+        seen = cat.url_seen.read(spark).localCheckpoint()  # pre-image pinned
+        removed = seen.join(evict_df, "url", "left_semi").count()
+        kept = seen.join(evict_df, "url", "left_anti")
         commit_round = self.round - 1  # last completed round
-        after = cat.url_seen.overwrite(
-            seen.join(evict_df, "url", "left_anti"), commit_round
-        )
-        if evicted_hashes and self.ctx.bloom is not None and hasattr(
+        cat.url_seen.overwrite(kept, commit_round)
+        if removed and self.ctx.bloom is not None and hasattr(
             self.ctx.bloom, "delete_hashes"
         ):
+            # COLLISION-SAFE: delete only hashes that no SURVIVING row
+            # still carries. The filter stores one copy per 64-bit hash;
+            # deleting a hash shared (by xxhash64 collision) with a kept
+            # URL would make maybe_seen answer False for that kept URL —
+            # and the admission fast path trusts False without the exact
+            # anti-join, so it would double-fetch. At 10^10 URLs a few
+            # 64-bit collisions are expected; excluding still-live hashes
+            # keeps the exactness contract at the cost of one anti-join
+            # over the (small) eviction hash set. Driver-side collect is
+            # deliberate: eviction runs per recrawl epoch on the schedule
+            # output (bounded), not per round — chunk epochs if huge.
             import numpy as np
 
-            self.ctx.bloom.delete_hashes(
-                np.asarray(evicted_hashes, dtype=np.int64), commit_round
-            )
-        return before - after
+            dead_hashes = [
+                r["url_hash"]
+                for r in seen.join(evict_df, "url", "left_semi")
+                .select("url_hash").distinct()
+                .join(kept.select("url_hash").distinct(), "url_hash", "left_anti")
+                .collect()
+            ]
+            if dead_hashes:
+                self.ctx.bloom.delete_hashes(
+                    np.asarray(dead_hashes, dtype=np.int64), commit_round
+                )
+        return removed
 
     def url_seen_state(self) -> dict[str, str]:
         """completed beats failed ('completed' < 'failed' ⇒ min)."""

@@ -32,7 +32,15 @@ from crawler_spark.queries import (
 # hasher could not canonicalize; now flattened to a string).
 # _FORCE_FRONT pins queries whose engine or oracle changed this session
 # (their old green rows no longer certify the current code).
-_FORCE_FRONT = ("inverted_index",)
+_FORCE_FRONT = (
+    # output schema changed (postings array -> string):
+    "inverted_index",
+    # engine rewritten this session (positional filter + array verify):
+    "setsim_ppjoin",
+    # decode/encode hot paths changed this session (strided LZW decode,
+    # cached encoder base table) — their old green rows certify old code:
+    "media_frames_gif", "media_frames", "media_decode_gif",
+)
 
 
 def _last_green_rounds() -> dict[str, int]:
@@ -56,7 +64,17 @@ def _last_green_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for q, v in data.items():
-            if isinstance(v, dict) and (v.get("hash_match") or v.get("rows_match")):
+            if not isinstance(v, dict):
+                continue
+            # green = value hash matched, or a rows-only check (no oracle:
+            # hash_match is null) whose rows matched. hash_match=False is
+            # RED even when rows_match is true (r03's embedding_centroids
+            # had exactly that shape) — red rows must rotate forward, not
+            # back.
+            green = v.get("hash_match") or (
+                v.get("hash_match") is None and v.get("rows_match")
+            )
+            if green:
                 last[q] = max(last.get(q, -1), rnd)
     return last
 
@@ -70,10 +88,12 @@ def all_queries():
     q.update(dataset_ops.QUERIES)
     last = _last_green_rounds()
     reg_order = {name: i for i, name in enumerate(q)}
+    pin = {name: i for i, name in enumerate(_FORCE_FRONT)}
     names = sorted(
         q,
         key=lambda n: (
-            n not in _FORCE_FRONT,      # pinned (engine/oracle changed) first
+            pin.get(n, len(pin)),       # pinned (engine/oracle changed) first,
+                                        # in declared order
             last.get(n, -1),            # then least-recently-driver-green
             reg_order[n],               # stable tie-break
         ),

@@ -58,8 +58,17 @@ class FilterSidecar:
             return json.load(f)
 
     def _write_manifest(self, manifest: dict[str, str], round_: int) -> None:
-        with open(self._manifest_path(round_), "w") as f:
+        # atomic tmp+rename: eviction (delete_hashes) REPLACES the manifest
+        # of an already-committed round, so a torn in-place write would
+        # destroy the only valid copy — rollback can't recover a manifest
+        # whose round is not past the resume point. os.replace is atomic
+        # on POSIX; a crash before it leaves the old manifest intact (the
+        # safe stale-filter-entry direction).
+        path = self._manifest_path(round_)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(manifest, f)
+        os.replace(tmp, path)
 
     def rollback_to_round(self, round_: int) -> None:
         for f in os.listdir(os.path.join(self.root, "manifests")):
