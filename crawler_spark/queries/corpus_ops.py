@@ -863,3 +863,79 @@ ORACLE_SUBSTRING_DUP_SPANS = f"""
 
 QUERIES["substring_dup_spans"] = q_substring_dup_spans
 ORACLES["substring_dup_spans"] = ORACLE_SUBSTRING_DUP_SPANS
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition audit — the WITHIN-doc counterpart of the
+# cross-doc dedup family (Lee et al. ACL'22 treat repeated substrings
+# inside one document as its own dedup axis; boilerplate and templated
+# pages repeat the same n-gram dozens of times). Per document: how many
+# token trigrams are repeats of an EARLIER occurrence in the same doc,
+# as integer parts-per-million of the doc's trigram count.
+#
+# Scale shape: one explode to (doc_id, gram, pos), one (doc_id, gram)
+# groupBy computing per-gram occurrence counts (every occurrence after
+# the first is a repeat — no per-position window, no self-join), one
+# (doc_id) rollup that reuses the same hash-partitioning. Repeat counts
+# are order-free aggregates, so the whole audit is two map-side-combining
+# shuffles regardless of document length — at 10^10 docs nothing is
+# quadratic and no row exceeds the doc's own gram count.
+# ---------------------------------------------------------------------------
+
+_REP_W = 3  # trigrams
+
+
+def q_intradoc_repetition(spark, sf_dir):
+    grams = (
+        _docs_tokens(spark, sf_dir)
+        .where(F.size("tokens") >= _REP_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(tokens) - {_REP_W}), "
+                    f"i -> lower(concat_ws(' ', slice(tokens, i + 1, {_REP_W}))))"
+                )
+            ).alias("gram"),
+        )
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_grams"),
+            F.sum(F.col("n_occ") - 1).alias("n_repeats"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_repeats",
+            F.expr("(1000000 * n_repeats) div n_grams").alias("repeat_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_INTRADOC_REPETITION = f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(tokens) - {_REP_W} + 2),
+               i -> lower(array_to_string(list_slice(tokens, i, i + {_REP_W} - 1), ' '))
+             )) AS gram
+      FROM ({_TOKENS_SQL}) WHERE len(tokens) >= {_REP_W}
+    ),
+    per_gram AS (
+      SELECT doc_id, gram, count(*) AS n_occ FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(n_occ) AS BIGINT) AS n_grams,
+           CAST(sum(n_occ - 1) AS BIGINT) AS n_repeats,
+           CAST((1000000 * sum(n_occ - 1)) // sum(n_occ) AS BIGINT) AS repeat_ppm
+    FROM per_gram GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["intradoc_repetition"] = q_intradoc_repetition
+ORACLES["intradoc_repetition"] = ORACLE_INTRADOC_REPETITION

@@ -468,3 +468,36 @@ def test_span_packing_continuity(spark):
             assert r["n_spanned_packs"] == last // _SPAN_PACK_LEN - cum // _SPAN_PACK_LEN + 1
         assert r["doc_cost"] >= r["n_media"] * _SPAN_MEDIA_COST
         cum += r["doc_cost"]
+
+
+def test_intradoc_repetition_matches_brute_force_counter(spark):
+    """repeat_ppm == brute-force Counter over each doc's trigrams (every
+    occurrence after the first is a repeat), including the planted
+    boilerplate-free and repetition-heavy extremes."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from crawler_spark.queries.corpus_ops import _REP_W, q_intradoc_repetition
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    expect = {}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"\s+", text) if t]
+        if len(toks) < _REP_W:
+            continue
+        grams = Counter(
+            " ".join(toks[i:i + _REP_W]).lower()
+            for i in range(len(toks) - _REP_W + 1)
+        )
+        n = sum(grams.values())
+        rep = sum(c - 1 for c in grams.values())
+        expect[doc_id] = (n, rep, (1_000_000 * rep) // n)
+
+    rows = q_intradoc_repetition(spark, SF).collect()
+    got = {r["doc_id"]: (r["n_grams"], r["n_repeats"], r["repeat_ppm"]) for r in rows}
+    assert got == expect
+    assert any(v[1] > 0 for v in expect.values()), "no repetition in fixture"
