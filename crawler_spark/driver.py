@@ -507,11 +507,25 @@ class CrawlRun:
             urls if hasattr(urls, "join")
             else spark.createDataFrame([(u,) for u in urls], "url string")
         ).select("url").distinct()
-        seen = cat.url_seen.read(spark).localCheckpoint()  # pre-image pinned
-        removed = seen.join(evict_df, "url", "left_semi").count()
-        kept = seen.join(evict_df, "url", "left_anti")
+        # no checkpoint needed to pin the pre-image: read() binds concrete
+        # snapshot dirs at call time and overwrite() writes a NEW dir —
+        # snapshots are copy-on-write, so `seen` stays the pre-image.
+        seen = cat.url_seen.read(spark)
+        # the evicted rows are the small side — materialize them ONCE
+        # driver-side (url_hash only) and reuse for both the removed count
+        # and the sidecar deletion set. Deliberate collect: eviction runs
+        # per recrawl epoch on the schedule output (bounded), not per
+        # round — chunk epochs if huge.
+        evicted_hashes = [
+            r["url_hash"]
+            for r in seen.join(evict_df, "url", "left_semi")
+            .select("url_hash").collect()
+        ]
+        removed = len(evicted_hashes)
         commit_round = self.round - 1  # last completed round
-        cat.url_seen.overwrite(kept, commit_round)
+        cat.url_seen.overwrite(
+            seen.join(evict_df, "url", "left_anti"), commit_round
+        )
         if removed and self.ctx.bloom is not None and hasattr(
             self.ctx.bloom, "delete_hashes"
         ):
@@ -522,18 +536,20 @@ class CrawlRun:
             # and the admission fast path trusts False without the exact
             # anti-join, so it would double-fetch. At 10^10 URLs a few
             # 64-bit collisions are expected; excluding still-live hashes
-            # keeps the exactness contract at the cost of one anti-join
-            # over the (small) eviction hash set. Driver-side collect is
-            # deliberate: eviction runs per recrawl epoch on the schedule
-            # output (bounded), not per round — chunk epochs if huge.
+            # keeps the exactness contract. The survivor side reads the
+            # snapshot overwrite just committed (parquet scan, no join
+            # recompute).
             import numpy as np
 
+            ev = spark.createDataFrame(
+                [(int(h),) for h in set(evicted_hashes)], "url_hash bigint"
+            )
             dead_hashes = [
                 r["url_hash"]
-                for r in seen.join(evict_df, "url", "left_semi")
-                .select("url_hash").distinct()
-                .join(kept.select("url_hash").distinct(), "url_hash", "left_anti")
-                .collect()
+                for r in ev.join(
+                    cat.url_seen.read(spark).select("url_hash"),
+                    "url_hash", "left_anti",
+                ).collect()
             ]
             if dead_hashes:
                 self.ctx.bloom.delete_hashes(

@@ -30,51 +30,63 @@ from crawler_spark.queries import (
 # r05's window is exactly the 34 queries absent from r04's artifact plus
 # inverted_index (red in r04: an array<string> output column the driver
 # hasher could not canonicalize; now flattened to a string).
-# _FORCE_FRONT pins queries whose engine or oracle changed this session
-# (their old green rows no longer certify the current code).
-_FORCE_FRONT = (
-    # output schema changed (postings array -> string):
-    "inverted_index",
-    # engine rewritten this session (positional filter + array verify):
-    "setsim_ppjoin",
-    # decode/encode hot paths changed this session (strided LZW decode,
-    # cached encoder base table) — their old green rows certify old code:
-    "media_frames_gif", "media_frames", "media_decode_gif",
-)
+# _ENGINE_CHANGED pins queries whose engine or oracle changed, keyed by
+# the round of the change: a pin is ACTIVE only while no artifact of that
+# round or later has certified the query green, so pins expire by
+# themselves once the driver re-verifies the new code — no hand cleanup.
+_ENGINE_CHANGED = {
+    # round 5: postings array -> string output schema
+    "inverted_index": 5,
+    # round 5: positional filter + array_intersect verify rewrite
+    "setsim_ppjoin": 5,
+    # round 5: strided LZW frame decode + cached encoder base table
+    "media_frames_gif": 5, "media_frames": 5, "media_decode_gif": 5,
+}
+
+
+def _is_green(v) -> bool:
+    """A driver artifact row is green iff the value hash matched, or — for
+    a rows-only check (no oracle: hash_match is null) — the row counts
+    matched. hash_match=False is RED even when rows_match is true (r03's
+    embedding_centroids had exactly that shape) — red rows must rotate
+    forward, not back."""
+    return bool(
+        isinstance(v, dict)
+        and (v.get("hash_match")
+             or (v.get("hash_match") is None and v.get("rows_match")))
+    )
+
+
+def _artifact_paths() -> list[tuple[int, str]]:
+    """(round, path) for every committed CORRECTNESS_r*.json, any digit
+    count, sorted by round."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            out.append((int(m.group(1)), path))
+    return sorted(out)
 
 
 def _last_green_rounds() -> dict[str, int]:
     """query name → newest round whose committed driver artifact has a
     green row for it (missing/red rows don't count)."""
-    import glob
     import json
-    import os
-    import re
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     last: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
+    for rnd, path in _artifact_paths():
         try:
             with open(path) as f:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
         for q, v in data.items():
-            if not isinstance(v, dict):
-                continue
-            # green = value hash matched, or a rows-only check (no oracle:
-            # hash_match is null) whose rows matched. hash_match=False is
-            # RED even when rows_match is true (r03's embedding_centroids
-            # had exactly that shape) — red rows must rotate forward, not
-            # back.
-            green = v.get("hash_match") or (
-                v.get("hash_match") is None and v.get("rows_match")
-            )
-            if green:
+            if _is_green(v):
                 last[q] = max(last.get(q, -1), rnd)
     return last
 
@@ -88,12 +100,16 @@ def all_queries():
     q.update(dataset_ops.QUERIES)
     last = _last_green_rounds()
     reg_order = {name: i for i, name in enumerate(q)}
-    pin = {name: i for i, name in enumerate(_FORCE_FRONT)}
+    active_pins = [
+        name for name, changed_round in _ENGINE_CHANGED.items()
+        if last.get(name, -1) < changed_round
+    ]
+    pin = {name: i for i, name in enumerate(active_pins)}
     names = sorted(
         q,
         key=lambda n: (
-            pin.get(n, len(pin)),       # pinned (engine/oracle changed) first,
-                                        # in declared order
+            pin.get(n, len(pin)),       # active pins (engine/oracle changed,
+                                        # not yet re-certified) first
             last.get(n, -1),            # then least-recently-driver-green
             reg_order[n],               # stable tie-break
         ),

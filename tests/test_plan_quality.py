@@ -90,48 +90,52 @@ def test_every_query_output_column_is_scalar(spark):
 
 def test_rotation_front_loads_least_recently_green():
     """The registry orders queries by last driver-green round (committed
-    CORRECTNESS_r*.json artifacts), never-green/red first, _FORCE_FRONT
-    pinned — so the driver's 50-query window cycles through all of them
-    on a least-recently-verified schedule with no hand-kept list."""
+    CORRECTNESS_r*.json artifacts), never-green/red first; engine-changed
+    queries are pinned ONLY until an artifact of the change round or later
+    re-certifies them — so the driver's 50-query window cycles on a
+    least-recently-verified schedule with no hand-maintained list."""
     import json
 
-    from crawler_spark.queries import _FORCE_FRONT, _last_green_rounds, all_queries
+    from crawler_spark.queries import (
+        _ENGINE_CHANGED,
+        _artifact_paths,
+        _is_green,
+        _last_green_rounds,
+        all_queries,
+    )
 
     last = _last_green_rounds()
     names = list(all_queries())
-    # pinned entries lead
-    assert names[: len(_FORCE_FRONT)] == list(_FORCE_FRONT)
+    active_pins = [
+        n for n, changed in _ENGINE_CHANGED.items() if last.get(n, -1) < changed
+    ]
+    # active pins lead, in declared order
+    assert names[: len(active_pins)] == active_pins
     # after the pinned prefix, last-green rounds are non-decreasing
-    rounds = [last.get(n, -1) for n in names[len(_FORCE_FRONT):]]
+    rounds = [last.get(n, -1) for n in names[len(active_pins):]]
     assert rounds == sorted(rounds)
-    # every query green in the NEWEST committed artifact is AFTER every
-    # query whose last green is older (or that was never green) — derive
-    # the newest round from the same source the rotation reads, so
-    # committing a new round's artifact keeps this test meaningful
-    import glob
-    import re
 
-    newest = max(
-        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
-        for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
-    )
-    with open(f"/root/repo/CORRECTNESS_r{newest:02d}.json") as f:
-        newest_set = {
-            q for q, v in json.load(f).items()
-            if v.get("hash_match")
-            or (v.get("hash_match") is None and v.get("rows_match"))
-        }
+    # every query green in the NEWEST committed artifact is AFTER every
+    # staler query — read the artifact via the same enumeration the
+    # rotation uses (no padding/naming assumptions), shared _is_green
+    paths = _artifact_paths()
+    assert paths, "no committed CORRECTNESS artifacts found"
+    newest, newest_path = paths[-1]
+    with open(newest_path) as f:
+        newest_set = {q for q, v in json.load(f).items() if _is_green(v)}
     idx = {n: i for i, n in enumerate(names)}
     newest_green = [
         idx[q] for q in newest_set
-        if q in idx and last.get(q, -1) == newest and q not in _FORCE_FRONT
+        if q in idx and last.get(q, -1) == newest and q not in active_pins
     ]
     stale = [
         idx[q] for q in names
-        if last.get(q, -1) < newest and q not in _FORCE_FRONT
+        if last.get(q, -1) < newest and q not in active_pins
     ]
-    if newest_green and stale:
-        assert max(stale) < min(newest_green)
+    # non-vacuous by construction for the committed artifact set: r04
+    # certified dozens of queries and round 5 added never-green ones
+    assert newest_green and stale
+    assert max(stale) < min(newest_green)
 
 
 def test_global_windows_only_over_partition_level_aggregates(spark):
